@@ -1,0 +1,66 @@
+"""Pinhole camera and primary-ray generation.
+
+Equivalent of the reference's camera setup in src/main.cpp (eye/center/up/fov
+CLI parameters feeding a primary-ray kernel). Ray generation is a pure jnp
+function producing a flat SoA ray batch in scanline order — flat because the
+wavefront pipeline treats rays as a 1D stream to sort/compact/shard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .types import Rays
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    eye: tuple
+    center: tuple
+    up: tuple = (0.0, 1.0, 0.0)
+    fov_deg: float = 60.0
+
+    def basis(self):
+        eye = np.asarray(self.eye, np.float32)
+        fwd = np.asarray(self.center, np.float32) - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, np.asarray(self.up, np.float32))
+        right = right / np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        return eye, fwd, right, up
+
+
+def primary_rays(cam: Camera, width: int, height: int,
+                 jitter=None) -> Rays:
+    """Generate width*height primary rays in scanline (y-major) order.
+
+    jitter: optional f32[H*W, 2] subpixel offsets in [0,1) for antialiasing /
+    path tracing; defaults to pixel centers.
+    """
+    eye, fwd, right, up = cam.basis()
+    tan_half = np.tan(np.radians(cam.fov_deg) * 0.5)
+    aspect = width / height
+
+    px = jnp.arange(width, dtype=jnp.float32)
+    py = jnp.arange(height, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(px, py)  # [H, W]
+    gx = gx.reshape(-1)
+    gy = gy.reshape(-1)
+    if jitter is None:
+        ox = oy = 0.5
+    else:
+        ox = jitter[:, 0]
+        oy = jitter[:, 1]
+    # NDC in [-1, 1], y flipped so row 0 is the top of the image.
+    ndc_x = (2.0 * (gx + ox) / width - 1.0) * tan_half * aspect
+    ndc_y = (1.0 - 2.0 * (gy + oy) / height) * tan_half
+
+    d = (ndc_x[:, None] * jnp.asarray(right)
+         + ndc_y[:, None] * jnp.asarray(up)
+         + jnp.asarray(fwd))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    org = jnp.broadcast_to(jnp.asarray(eye), d.shape)
+    return Rays.make(org, d)
