@@ -1,0 +1,125 @@
+"""Single-level uniform grid: the minimum end-to-end acceleration structure.
+
+Counterpart of the reference's top-level binning pass (src/build.cu:
+count_refs → scan → emit_refs) restructured the TPU way (SURVEY.md §7):
+no atomics, no scatters — per-triangle voxel-range counts feed a vectorized
+binary-search expansion, then a single device-wide stable sort by cell id
+yields cell-contiguous ref lists, and segment boundaries come from
+searchsorted. Everything is static-shape: `dims` and the ref capacity are
+host-side (compile-time) values derived from the density heuristic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Triangles
+from ..ops.segment import expand_by_counts, segment_starts, sort_pairs
+from ..utils.config import density_dims
+
+
+@flax.struct.dataclass
+class UniformGrid:
+    """SoA uniform grid. dims is static; arrays have static capacities.
+
+    ref_ids rows >= total_refs are INVALID (-1) and sorted to the back.
+    """
+
+    dims: tuple = flax.struct.field(pytree_node=False)
+    bbox_lo: jnp.ndarray   # f32[3]
+    bbox_hi: jnp.ndarray   # f32[3]
+    cell_starts: jnp.ndarray  # i32[C+1], C = prod(dims)
+    ref_ids: jnp.ndarray      # i32[R_cap]
+    total_refs: jnp.ndarray   # i32[] — live refs; > R_cap means overflow
+    tris: Triangles
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.dims))
+
+    @property
+    def cell_size(self) -> jnp.ndarray:
+        return (self.bbox_hi - self.bbox_lo) / jnp.asarray(
+            self.dims, jnp.float32)
+
+    def overflowed(self) -> bool:
+        return int(self.total_refs) > self.ref_ids.shape[0]
+
+
+def tri_voxel_ranges(tris: Triangles, bbox_lo, bbox_hi, dims):
+    """Conservative AABB binning: per-tri inclusive voxel range [lo, hi].
+
+    Matches the reference's binning overlap test at the conservative end
+    (tri AABB vs cell); exact SAT pruning would only shrink ref lists.
+    """
+    d = jnp.asarray(dims, jnp.float32)
+    inv_cs = d / (bbox_hi - bbox_lo)
+    tlo, thi = tris.bounds()
+    lo = jnp.floor((tlo - bbox_lo) * inv_cs).astype(jnp.int32)
+    hi = jnp.floor((thi - bbox_lo) * inv_cs).astype(jnp.int32)
+    dmax = jnp.asarray(dims, jnp.int32) - 1
+    lo = jnp.clip(lo, 0, dmax)
+    hi = jnp.clip(hi, 0, dmax)
+    return lo, hi
+
+
+def linear_cell(ix, iy, iz, dims):
+    """x-fastest linearization, matching voxel -> entry indexing everywhere."""
+    return (iz * dims[1] + iy) * dims[0] + ix
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "ref_capacity"))
+def _build(tris: Triangles, bbox_lo, bbox_hi, dims, ref_capacity):
+    lo, hi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, dims)
+    span = hi - lo + 1
+    counts = span[:, 0] * span[:, 1] * span[:, 2]
+
+    tri_idx, rank, valid, total = expand_by_counts(counts, ref_capacity)
+    s = span[tri_idx]
+    l = lo[tri_idx]
+    # Decode rank -> (dx, dy, dz) within the tri's voxel box (x fastest).
+    dx = rank % s[:, 0]
+    rem = rank // s[:, 0]
+    dy = rem % s[:, 1]
+    dz = rem // s[:, 1]
+    cell = linear_cell(l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz, dims)
+
+    num_cells = int(np.prod(dims))
+    key = jnp.where(valid, cell, num_cells)
+    skeys, srefs = sort_pairs(key, jnp.where(valid, tri_idx, -1))
+    starts = segment_starts(skeys, num_cells)
+    return starts, srefs, total
+
+
+def build_uniform(tris: Triangles, density: float = 2.4,
+                  ref_capacity: int | None = None,
+                  dims: tuple | None = None) -> UniformGrid:
+    """Host wrapper: derives static dims/capacity, retries on overflow."""
+    tlo, thi = jax.device_get(tris.bounds())
+    lo = tlo.min(0)
+    hi = thi.max(0)
+    pad = (hi - lo) * 1e-4 + 1e-4
+    lo = lo - pad
+    hi = hi + pad
+    n = tris.count
+    if dims is None:
+        dims = density_dims(hi - lo, n, density)
+    if ref_capacity is None:
+        ref_capacity = max(1024, int(n * 4))
+    bbox_lo = jnp.asarray(lo, jnp.float32)
+    bbox_hi = jnp.asarray(hi, jnp.float32)
+    while True:
+        starts, refs, total = _build(tris, bbox_lo, bbox_hi, dims,
+                                     ref_capacity)
+        t = int(jax.device_get(total))
+        if t <= ref_capacity:
+            break
+        ref_capacity = int(t * 1.25)  # recompile with room to spare
+    return UniformGrid(dims=dims, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
+                       cell_starts=starts, ref_ids=refs, total_refs=total,
+                       tris=tris)

@@ -1,0 +1,37 @@
+"""Build parameters, mirroring the reference CLI knobs (src/main.cpp).
+
+top_density (λ1 ≈ 0.12) and snd_density (λ2 ≈ 2.4) drive the grid-dimension
+density heuristic of the irregular-grids paper; alpha weights the SAH merge
+test; expansion_passes bounds greedy cell expansion. All static Python
+values: they determine array capacities and therefore compilation shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class BuildParams:
+    top_density: float = 0.12
+    snd_density: float = 2.4
+    alpha: float = 0.995
+    expansion_passes: int = 3
+    merge_passes: int = 3
+    # Max second-level resolution per top cell (power of two), i.e. the
+    # reference grid's `shift`: fine grid = top dims << levels.
+    levels: int = 3
+    # Capacity head-room multipliers for the static ref buffers.
+    ref_slack: float = 1.5
+
+
+def density_dims(extent, n_prims: int, density: float):
+    """The paper's grid-dimension heuristic: dims_a = e_a * cbrt(d*N/V).
+
+    extent: 3-sequence of floats. Returns a tuple of 3 ints >= 1. Host-side
+    (static) computation: array capacities derive from it.
+    """
+    ex, ey, ez = (max(float(e), 1e-9) for e in extent)
+    vol = ex * ey * ez
+    k = (density * max(n_prims, 1) / vol) ** (1.0 / 3.0)
+    return (max(1, int(ex * k)), max(1, int(ey * k)), max(1, int(ez * k)))
