@@ -123,3 +123,19 @@ def build_uniform(tris: Triangles, density: float = 2.4,
     return UniformGrid(dims=dims, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
                        cell_starts=starts, ref_ids=refs, total_refs=total,
                        tris=tris)
+
+
+@functools.partial(jax.jit, static_argnames=("refs_per_iter", "any_hit"))
+def trace_uniform(grid: UniformGrid, rays, refs_per_iter: int = 8,
+                  any_hit: bool = False):
+    """Wavefront (lockstep) traversal of the uniform grid — the TPU path."""
+    from ..ops.wavefront import trace_wavefront
+
+    def lookup(voxel):
+        cell = linear_cell(voxel[:, 0], voxel[:, 1], voxel[:, 2], grid.dims)
+        return cell, voxel, voxel
+
+    return trace_wavefront(rays, grid.tris, lookup, grid.cell_starts,
+                           grid.ref_ids, grid.bbox_lo, grid.bbox_hi,
+                           grid.dims, refs_per_iter=refs_per_iter,
+                           any_hit=any_hit)
