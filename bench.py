@@ -18,6 +18,10 @@ import time
 import jax
 import numpy as np
 
+from hagrid_tpu.utils import cache
+
+cache.enable()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .irregular import IrregularGrid
 from .uniform import UniformGrid, tri_voxel_ranges
 
 
@@ -42,3 +43,70 @@ def check_uniform(grid: UniformGrid) -> None:
                     c = (z * dy + y) * dx + x
                     assert t in cell_sets[c], \
                         f"tri {t} missing from cell {c}"
+
+
+def _all_fine_voxels(dims):
+    import itertools
+    return np.array(list(itertools.product(
+        range(dims[0]), range(dims[1]), range(dims[2]))), np.int32)
+
+
+def check_irregular(grid: IrregularGrid) -> None:
+    """Invariants that make irregular-grid traversal correct:
+    1. every fine voxel is owned by an alive cell whose bbox contains it;
+    2. conservative completeness: a tri overlapping voxel v is in the ref
+       list of v's owner;
+    3. expansion safety: every voxel inside a cell's (possibly expanded)
+       bbox is owned by that cell or by an empty cell;
+    4. per-cell ref lists are sorted and unique.
+    """
+    import jax.numpy as jnp
+
+    fine = grid.fine_dims
+    vox = _all_fine_voxels(fine)
+    owner, cmin_o, cmax_o = (np.asarray(x) for x in
+                             grid.lookup(jnp.asarray(vox)))
+    alive = np.asarray(grid.alive)
+    starts = np.asarray(grid.cell_starts)
+    refs = np.asarray(grid.ref_ids)
+    n_refs = np.diff(starts)[:alive.shape[0]]
+
+    assert np.all(alive[owner]), "voxel owned by dead cell"
+    assert np.all((cmin_o <= vox).all(1) & (vox <= cmax_o).all(1)), \
+        "owner bbox does not contain voxel"
+
+    # 4: sorted unique ref lists, in-range ids.
+    n_tris = grid.tris.count
+    total = int(grid.total_refs)
+    assert starts[-1] == total
+    for c in np.nonzero(alive)[0]:
+        seg = refs[starts[c]:starts[c + 1]]
+        assert len(seg) <= 1 or np.all(np.diff(seg) > 0), \
+            f"cell {c} refs not sorted/unique"
+        assert np.all((seg >= 0) & (seg < n_tris))
+
+    # 2: completeness against recomputed fine ranges.
+    lo, hi = (np.asarray(x) for x in tri_voxel_ranges(
+        grid.tris, grid.bbox_lo, grid.bbox_hi, fine))
+    own_map = owner.reshape(fine)  # indexed [x,y,z] via itertools order
+    cell_sets = {int(c): set(refs[starts[c]:starts[c + 1]].tolist())
+                 for c in np.nonzero(alive)[0]}
+    for t in range(n_tris):
+        for x in range(lo[t, 0], hi[t, 0] + 1):
+            for y in range(lo[t, 1], hi[t, 1] + 1):
+                for z in range(lo[t, 2], hi[t, 2] + 1):
+                    c = int(own_map[x, y, z])
+                    assert t in cell_sets[c], \
+                        f"tri {t} missing from owner cell {c} of voxel " \
+                        f"({x},{y},{z})"
+
+    # 3: expansion safety.
+    cmin = np.asarray(grid.cell_min)
+    cmax = np.asarray(grid.cell_max)
+    for c in np.nonzero(alive)[0]:
+        sl = own_map[cmin[c, 0]:cmax[c, 0] + 1,
+                     cmin[c, 1]:cmax[c, 1] + 1,
+                     cmin[c, 2]:cmax[c, 2] + 1]
+        others = np.unique(sl[sl != c])
+        assert np.all(n_refs[others] == 0), \
+            f"cell {c} bbox covers non-empty foreign cells {others}"

@@ -1,0 +1,464 @@
+"""Two-level irregular grid — the flagship acceleration structure.
+
+Re-derivation of the reference build pipeline (src/build.cu top binning →
+octree-style per-cell refinement; src/merge.cu SAH neighbor merging;
+src/expand.cu greedy cell expansion) as TPU-idiomatic jitted stages over
+static-shape SoA arrays (SURVEY.md §3.2, §7). Key re-design decisions:
+
+- The reference's multi-level octree `entries` encoding is flattened to a
+  *two-level* table: each top cell stores a resolution log2 `r` and an
+  offset into a per-cell block of (2^r)^3 leaf entries. Equivalent
+  expressive power (per-cell power-of-two subdivision), but lookup is two
+  dependent gathers instead of a variable-depth descent — better for a
+  vector ISA.
+- Construction never scatters with atomics: every "emit" is
+  count → exclusive-scan → binary-search expansion → stable sort →
+  segment boundaries (ops/segment.py).
+- Merging uses randomized independent-set matching per pass (hash-parity)
+  instead of the reference's serial even/odd sweeps: each cell proposes its
+  +axis neighbor when the SAH test passes; proposals are accepted where the
+  hash bits differ, which is conflict-free and fully parallel. The SAH test
+  uses the |A|+|B| upper bound for the union size (conservative: merges no
+  pair the reference would reject).
+- Expansion grows a cell's int bbox into an *empty* neighbor cell that
+  covers its whole cross-section (the dominant win of the paper's
+  subset-expansion; ref-subset growth into non-empty neighbors can chain
+  through repeated passes). Cell bboxes may then overlap the voxel map —
+  ownership (entries) never changes, only the skip extents.
+
+All capacities are static; the host wrapper reads back totals once and
+retries with pow2-bucketed capacities on overflow (the static-shape
+replacement for the reference MemManager).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Triangles
+from ..ops.segment import (expand_by_counts, exclusive_scan, segment_starts,
+                           sort_pairs)
+from ..utils.config import BuildParams, density_dims
+from .uniform import linear_cell, tri_voxel_ranges
+
+# SAH constants (cost = half_area * (C_TRAV + C_ISECT * n_refs)).
+C_TRAV = 1.0
+C_ISECT = 1.0
+
+
+@flax.struct.dataclass
+class IrregularGrid:
+    top_dims: tuple = flax.struct.field(pytree_node=False)
+    levels: int = flax.struct.field(pytree_node=False)  # max sub-res log2
+    bbox_lo: jnp.ndarray    # f32[3]
+    bbox_hi: jnp.ndarray    # f32[3]
+    top_res_log: jnp.ndarray  # i32[Ct]
+    top_offset: jnp.ndarray   # i32[Ct] — into entries
+    entries: jnp.ndarray      # i32[E_cap] — leaf cell id per sub-voxel
+    cell_min: jnp.ndarray     # i32[C_cap,3] — inclusive, fine coords
+    cell_max: jnp.ndarray     # i32[C_cap,3]
+    cell_starts: jnp.ndarray  # i32[C_cap+1]
+    ref_ids: jnp.ndarray      # i32[R_cap]
+    alive: jnp.ndarray        # bool[C_cap]
+    num_entries: jnp.ndarray  # i32[]
+    total_refs: jnp.ndarray   # i32[]
+    tris: Triangles
+
+    @property
+    def fine_dims(self) -> tuple:
+        return tuple(d << self.levels for d in self.top_dims)
+
+    def lookup(self, voxel: jnp.ndarray):
+        """fine voxel i32[N,3] -> (cell i32[N], cmin i32[N,3], cmax)."""
+        lv = self.levels
+        top = voxel >> lv
+        tidx = linear_cell(top[:, 0], top[:, 1], top[:, 2], self.top_dims)
+        r = self.top_res_log[tidx]
+        off = self.top_offset[tidx]
+        local = (voxel & ((1 << lv) - 1)) >> (lv - r)[:, None]
+        side = (1 << r).astype(jnp.int32)
+        sub = (local[:, 2] * side + local[:, 1]) * side + local[:, 0]
+        e = self.entries[off + sub]
+        return e, self.cell_min[e], self.cell_max[e]
+
+    def stats(self) -> dict:
+        starts = np.asarray(self.cell_starts)
+        alive = np.asarray(self.alive)
+        counts = np.diff(starts)[: alive.shape[0]][alive]
+        return dict(
+            top_dims=self.top_dims, levels=self.levels,
+            entries=int(self.num_entries), cells=int(alive.sum()),
+            refs=int(self.total_refs),
+            refs_per_cell_mean=float(counts.mean()) if counts.size else 0.0,
+            refs_per_cell_max=int(counts.max()) if counts.size else 0,
+            empty_cell_frac=float((counts == 0).mean()) if counts.size else 0,
+        )
+
+
+# --------------------------------------------------------------------------
+# Stage 1+2: top-level binning and per-cell resolution selection.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_dims", "levels", "rt_cap"))
+def _stage_top(tris, bbox_lo, bbox_hi, top_dims, levels, snd_density,
+               rt_cap):
+    lo, hi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, top_dims)
+    span = hi - lo + 1
+    counts = span[:, 0] * span[:, 1] * span[:, 2]
+    tri_idx, rank, valid, total = expand_by_counts(counts, rt_cap)
+    s = span[tri_idx]
+    l = lo[tri_idx]
+    dx = rank % s[:, 0]
+    rem = rank // s[:, 0]
+    dy = rem % s[:, 1]
+    dz = rem // s[:, 1]
+    cell = linear_cell(l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz, top_dims)
+    n_top = int(np.prod(top_dims))
+    key = jnp.where(valid, cell, n_top)
+    skeys, srefs = sort_pairs(key, jnp.where(valid, tri_idx, -1))
+    top_starts = segment_starts(skeys, n_top)
+
+    # Per-top-cell second-level resolution from the local density heuristic:
+    # side = cbrt(snd_density * n_c) rounded UP to a power of two, clamped.
+    n_c = jnp.diff(top_starts).astype(jnp.float32)
+    side = jnp.cbrt(snd_density * n_c)
+    res_log = jnp.ceil(jnp.log2(jnp.maximum(side, 1.0))).astype(jnp.int32)
+    res_log = jnp.clip(res_log, 0, levels)
+    sizes = jnp.int32(1) << (3 * res_log)
+    offsets = exclusive_scan(sizes)
+    e_total = offsets[-1] + sizes[-1]
+    return top_starts, skeys, srefs, total, res_log, offsets, e_total
+
+
+# --------------------------------------------------------------------------
+# Stage 3+4: sub-voxel ref emission and initial leaf cells.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("top_dims", "levels", "e_cap",
+                                             "r2_cap"))
+def _stage_cells(tris, bbox_lo, bbox_hi, top_cell_of_ref, top_refs,
+                 res_log, offsets, e_total, top_dims, levels, e_cap, r2_cap):
+    """Expand each (top cell, tri) ref into the tri's sub-voxels at the
+    cell's resolution; one leaf cell per sub-voxel."""
+    fine_dims = tuple(d << levels for d in top_dims)
+    flo, fhi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, fine_dims)
+
+    rt_cap = top_refs.shape[0]
+    valid_ref = top_refs >= 0
+    c = jnp.minimum(top_cell_of_ref, int(np.prod(top_dims)) - 1)
+    t = jnp.maximum(top_refs, 0)
+    r = res_log[c]
+    shift = levels - r  # sub-voxel width log2, in fine voxels
+
+    # Top cell's fine-coord origin.
+    tdx, tdy, _ = top_dims
+    cx = c % tdx
+    rem = c // tdx
+    cy = rem % tdy
+    cz = rem // tdy
+    cell_lo = jnp.stack([cx, cy, cz], -1) << levels
+
+    # Tri's fine range clipped to the top cell, in sub-voxel coords.
+    side = jnp.int32(1) << r
+    lo_s = jnp.clip((flo[t] - cell_lo) >> shift[:, None], 0,
+                    (side - 1)[:, None])
+    hi_s = jnp.clip((fhi[t] - cell_lo) >> shift[:, None], 0,
+                    (side - 1)[:, None])
+    span = hi_s - lo_s + 1
+    counts = jnp.where(valid_ref, span[:, 0] * span[:, 1] * span[:, 2], 0)
+
+    ref_idx, rank, valid, total2 = expand_by_counts(counts, r2_cap)
+    valid = valid & valid_ref[ref_idx]
+    s = span[ref_idx]
+    l = lo_s[ref_idx]
+    dx = rank % s[:, 0]
+    rem2 = rank // s[:, 0]
+    dy = rem2 % s[:, 1]
+    dz = rem2 // s[:, 1]
+    lx = l[:, 0] + dx
+    ly = l[:, 1] + dy
+    lz = l[:, 2] + dz
+    cc = ref_idx  # row into top-ref arrays
+    side_e = side[cc]
+    entry = offsets[c[cc]] + (lz * side_e + ly) * side_e + lx
+
+    key = jnp.where(valid, entry, e_cap)
+    tri_of = jnp.where(valid, top_refs[cc], -1)
+    skeys, srefs = sort_pairs(key, tri_of)
+    cell_starts = segment_starts(skeys, e_cap)
+
+    # Initial cells: one per entry e < e_total; int bbox = sub-voxel extent.
+    e = jnp.arange(e_cap, dtype=jnp.int32)
+    owner = jnp.searchsorted(offsets, e, side="right").astype(jnp.int32) - 1
+    owner = jnp.clip(owner, 0, offsets.shape[0] - 1)
+    local = e - offsets[owner]
+    r_o = res_log[owner]
+    side_o = jnp.int32(1) << r_o
+    w = jnp.int32(1) << (levels - r_o)
+    lx = local % side_o
+    rem3 = local // side_o
+    ly = rem3 % side_o
+    lz = rem3 // side_o
+    ox = owner % tdx
+    rem4 = owner // tdx
+    oy = rem4 % tdy
+    oz = rem4 // tdy
+    cmin = ((jnp.stack([ox, oy, oz], -1) << levels)
+            + jnp.stack([lx, ly, lz], -1) * w[:, None])
+    cmax = cmin + (w[:, None] - 1)
+    alive = e < e_total
+    cmin = jnp.where(alive[:, None], cmin, 0)
+    cmax = jnp.where(alive[:, None], cmax, -1)
+    entries_arr = e  # identity: entry e -> cell e
+    return (entries_arr, cmin, cmax, cell_starts, srefs, alive, total2)
+
+
+# --------------------------------------------------------------------------
+# Stage 5: SAH neighbor merging (randomized independent-set matching).
+# --------------------------------------------------------------------------
+
+def _half_area(cmin, cmax, cs):
+    """SAH half-area of a cell's int bbox in world units. cmin/cmax i32[...,3]
+    inclusive; cs f32[3] fine-cell size."""
+    e = (cmax - cmin + 1).astype(jnp.float32) * cs
+    return e[..., 0] * (e[..., 1] + e[..., 2]) + e[..., 1] * e[..., 2]
+
+
+def _hash_bit(x, salt):
+    """Cheap deterministic per-cell hash bit for matching parity."""
+    h = (x.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + jnp.uint32(salt) * jnp.uint32(40503))
+    h = h ^ (h >> 16)
+    return (h & 1).astype(jnp.bool_)
+
+
+def _merge_pass(grid: IrregularGrid, axis: int, salt: int,
+                alpha: float) -> IrregularGrid:
+    """One merge pass along `axis`: each alive cell proposes its +axis
+    neighbor if the pair tiles a box and the SAH cost of the union beats
+    alpha * (sum of parts). Accepted where hash parity allows; absorbed
+    cells die, entries are repointed, ref lists deduped."""
+    c_cap = grid.cell_min.shape[0]
+    fine = jnp.asarray(grid.fine_dims, jnp.int32)
+    cs = (grid.bbox_hi - grid.bbox_lo) / fine.astype(jnp.float32)
+    alive = grid.alive
+    cmin = grid.cell_min
+    cmax = grid.cell_max
+    starts = grid.cell_starts
+    n_refs = (starts[1:] - starts[:-1])[:c_cap]
+
+    # Probe the voxel just past cmax on `axis`, at the cmin corner.
+    probe = cmin.at[:, axis].set(cmax[:, axis] + 1)
+    in_b = probe[:, axis] < fine[axis]
+    probe = jnp.clip(probe, 0, fine - 1)
+    j, jmin, jmax = grid.lookup(probe)
+
+    oa = [a for a in range(3) if a != axis]
+    box_pair = ((jmin[:, axis] == cmax[:, axis] + 1)
+                & (jmin[:, oa[0]] == cmin[:, oa[0]])
+                & (jmax[:, oa[0]] == cmax[:, oa[0]])
+                & (jmin[:, oa[1]] == cmin[:, oa[1]])
+                & (jmax[:, oa[1]] == cmax[:, oa[1]]))
+    cand = alive & in_b & alive[j] & box_pair
+
+    # SAH with |A|+|B| union upper bound.
+    umin = jnp.minimum(cmin, jmin)
+    umax = jnp.maximum(cmax, jmax)
+    cost_a = _half_area(cmin, cmax, cs) * (C_TRAV + C_ISECT * n_refs)
+    cost_b = _half_area(jmin, jmax, cs) * (C_TRAV + C_ISECT * n_refs[j])
+    cost_u = _half_area(umin, umax, cs) * (
+        C_TRAV + C_ISECT * (n_refs + n_refs[j]))
+    cand = cand & (cost_u <= alpha * (cost_a + cost_b))
+
+    i_idx = jnp.arange(c_cap, dtype=jnp.int32)
+    accept = cand & ~_hash_bit(i_idx, salt) & _hash_bit(j, salt)
+
+    # Absorb j into i: map[j] = i (j dies), bbox grows, refs concatenated.
+    # j's matching left neighbor is unique (cells tile space), and the hash
+    # parity forbids a cell being absorber and absorbed at once, so the
+    # scatter below has no duplicate target indices.
+    merge_map = i_idx.at[jnp.where(accept, j, c_cap)].set(i_idx, mode="drop")
+    new_alive = alive & (merge_map == i_idx)
+    new_cmax = jnp.where(accept[:, None], jnp.maximum(cmax, jmax), cmax)
+    new_cmin = jnp.where(accept[:, None], jnp.minimum(cmin, jmin), cmin)
+
+    # Re-key every ref to its (possibly merged) owner, sort, dedup.
+    r_cap = grid.ref_ids.shape[0]
+    rrow = jnp.arange(r_cap, dtype=jnp.int32)
+    owner = jnp.searchsorted(starts, rrow, side="right").astype(jnp.int32) - 1
+    owner = jnp.clip(owner, 0, c_cap - 1)
+    valid = (rrow < grid.total_refs) & (grid.ref_ids >= 0)
+    new_owner = merge_map[owner]
+    key = jnp.where(valid, new_owner, c_cap)
+    # Two-key sort (owner, tri) so duplicates are adjacent.
+    skeys, srefs = jax.lax.sort(
+        (key, jnp.where(valid, grid.ref_ids, jnp.int32(2 ** 30))),
+        num_keys=2, is_stable=True)
+    prev_k = jnp.roll(skeys, 1)
+    prev_r = jnp.roll(srefs, 1)
+    first = rrow == 0
+    dup = ~first & (skeys == prev_k) & (srefs == prev_r)
+    keep = (skeys < c_cap) & ~dup
+    # Compact: stable sort by (!keep) then re-key.
+    ckey = jnp.where(keep, skeys, c_cap)
+    ck, cr = jax.lax.sort((ckey, jnp.where(keep, srefs, -1)), num_keys=1,
+                          is_stable=True)
+    new_starts = segment_starts(ck, c_cap)
+    new_total = jnp.sum(keep.astype(jnp.int32))
+
+    new_entries = merge_map[grid.entries]
+    return grid.replace(entries=new_entries, cell_min=new_cmin,
+                        cell_max=new_cmax, cell_starts=new_starts,
+                        ref_ids=cr, alive=new_alive, total_refs=new_total)
+
+
+# --------------------------------------------------------------------------
+# Stage 6: greedy cell expansion into empty neighbors.
+# --------------------------------------------------------------------------
+
+def _expand_pass(grid: IrregularGrid, axis: int) -> IrregularGrid:
+    """Grow each alive cell's bbox along +axis and -axis into an EMPTY
+    neighbor cell that covers the full cross-section (the subset test of
+    reference src/expand.cu restricted to the empty-neighbor case, which
+    the paper identifies as the dominant win; repeated passes chain)."""
+    c_cap = grid.cell_min.shape[0]
+    fine = jnp.asarray(grid.fine_dims, jnp.int32)
+    starts = grid.cell_starts
+    n_refs = (starts[1:] - starts[:-1])[:c_cap]
+    oa = [a for a in range(3) if a != axis]
+
+    def grow(cmin, cmax, direction):
+        if direction > 0:
+            probe = cmin.at[:, axis].set(cmax[:, axis] + 1)
+            in_b = probe[:, axis] < fine[axis]
+        else:
+            probe = cmin.at[:, axis].set(cmin[:, axis] - 1)
+            in_b = probe[:, axis] >= 0
+        probe_c = jnp.clip(probe, 0, fine - 1)
+        j, jmin, jmax = grid.lookup(probe_c)
+        covers = ((jmin[:, oa[0]] <= cmin[:, oa[0]])
+                  & (jmax[:, oa[0]] >= cmax[:, oa[0]])
+                  & (jmin[:, oa[1]] <= cmin[:, oa[1]])
+                  & (jmax[:, oa[1]] >= cmax[:, oa[1]]))
+        ok = grid.alive & in_b & (n_refs[j] == 0) & covers & (j != jnp.arange(
+            c_cap, dtype=jnp.int32))
+        if direction > 0:
+            new = jnp.where(ok, jmax[:, axis], cmax[:, axis])
+            return cmin, cmax.at[:, axis].set(new)
+        new = jnp.where(ok, jmin[:, axis], cmin[:, axis])
+        return cmin.at[:, axis].set(new), cmax
+
+    cmin, cmax = grow(grid.cell_min, grid.cell_max, +1)
+    cmin, cmax = grow(cmin, cmax, -1)
+    return grid.replace(cell_min=cmin, cell_max=cmax)
+
+
+# --------------------------------------------------------------------------
+# Host build wrapper.
+# --------------------------------------------------------------------------
+
+def _bucket(n: int, lo: int = 1024) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def build_irregular(tris: Triangles, params: BuildParams | None = None,
+                    top_dims: tuple | None = None) -> IrregularGrid:
+    params = params or BuildParams()
+    tlo, thi = jax.device_get(tris.bounds())
+    lo = tlo.min(0)
+    hi = thi.max(0)
+    pad = (hi - lo) * 1e-4 + 1e-4
+    lo = lo - pad
+    hi = hi + pad
+    n = tris.count
+    if top_dims is None:
+        top_dims = density_dims(hi - lo, n, params.top_density)
+    levels = params.levels
+    bbox_lo = jnp.asarray(lo, jnp.float32)
+    bbox_hi = jnp.asarray(hi, jnp.float32)
+
+    rt_cap = _bucket(int(n * 2.5 * params.ref_slack))
+    while True:
+        (top_starts, top_keys, top_refs, rt_total, res_log, offsets,
+         e_total) = _stage_top(tris, bbox_lo, bbox_hi, top_dims, levels,
+                               params.snd_density, rt_cap)
+        t = int(jax.device_get(rt_total))
+        if t <= rt_cap:
+            break
+        rt_cap = _bucket(int(t * 1.25))
+
+    e_cap = _bucket(int(jax.device_get(e_total)) + 1)
+    r2_cap = _bucket(int(t * 3.0 * params.ref_slack))
+    while True:
+        (entries, cmin, cmax, cell_starts, refs, alive,
+         r2_total) = _stage_cells(tris, bbox_lo, bbox_hi, top_keys, top_refs,
+                                  res_log, offsets, e_total, top_dims,
+                                  levels, e_cap, r2_cap)
+        t2 = int(jax.device_get(r2_total))
+        if t2 <= r2_cap:
+            break
+        r2_cap = _bucket(int(t2 * 1.25))
+
+    grid = IrregularGrid(
+        top_dims=top_dims, levels=levels, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
+        top_res_log=res_log, top_offset=offsets, entries=entries,
+        cell_min=cmin, cell_max=cmax, cell_starts=cell_starts, ref_ids=refs,
+        alive=alive, num_entries=e_total, total_refs=r2_total, tris=tris)
+
+    grid = _optimize(grid, params)
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=("merge_passes",
+                                             "expansion_passes", "alpha"))
+def _optimize_jit(grid: IrregularGrid, merge_passes: int,
+                  expansion_passes: int, alpha: float) -> IrregularGrid:
+    for p in range(merge_passes):
+        for axis in range(3):
+            grid = _merge_pass(grid, axis, salt=p * 3 + axis + 1,
+                               alpha=alpha)
+    for _ in range(expansion_passes):
+        for axis in range(3):
+            grid = _expand_pass(grid, axis)
+    return grid
+
+
+def _optimize(grid: IrregularGrid, params: BuildParams) -> IrregularGrid:
+    return _optimize_jit(grid, params.merge_passes, params.expansion_passes,
+                         float(params.alpha))
+
+
+# --------------------------------------------------------------------------
+# Traversal wrappers.
+# --------------------------------------------------------------------------
+
+def irregular_lookup(grid: IrregularGrid, voxel):
+    """Grid-protocol lookup for the wavefront tracer."""
+    return grid.lookup(voxel)
+
+
+def trace_irregular_fast(grid: IrregularGrid, rays, any_hit: bool = False):
+    """Compacted round-based wavefront trace (host-orchestrated)."""
+    from ..ops import wavefront
+
+    return wavefront.trace(grid, irregular_lookup, rays, any_hit=any_hit)
+
+
+@functools.partial(jax.jit, static_argnames=("refs_per_iter", "any_hit"))
+def trace_irregular(grid: IrregularGrid, rays, refs_per_iter: int = 8,
+                    any_hit: bool = False):
+    from ..ops.wavefront import trace_wavefront
+
+    return trace_wavefront(rays, grid.tris, grid.lookup, grid.cell_starts,
+                           grid.ref_ids, grid.bbox_lo, grid.bbox_hi,
+                           grid.fine_dims, refs_per_iter=refs_per_iter,
+                           any_hit=any_hit)

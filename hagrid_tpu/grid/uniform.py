@@ -43,6 +43,10 @@ class UniformGrid:
         return int(np.prod(self.dims))
 
     @property
+    def fine_dims(self) -> tuple:
+        return self.dims
+
+    @property
     def cell_size(self) -> jnp.ndarray:
         return (self.bbox_hi - self.bbox_lo) / jnp.asarray(
             self.dims, jnp.float32)
@@ -123,6 +127,20 @@ def build_uniform(tris: Triangles, density: float = 2.4,
     return UniformGrid(dims=dims, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
                        cell_starts=starts, ref_ids=refs, total_refs=total,
                        tris=tris)
+
+
+def uniform_lookup(grid: UniformGrid, voxel):
+    """Grid-protocol lookup for the wavefront tracer (module-level so jit
+    caches on the function identity)."""
+    cell = linear_cell(voxel[:, 0], voxel[:, 1], voxel[:, 2], grid.dims)
+    return cell, voxel, voxel
+
+
+def trace_uniform_fast(grid: UniformGrid, rays, any_hit: bool = False):
+    """Compacted round-based wavefront trace (host-orchestrated)."""
+    from ..ops import wavefront
+
+    return wavefront.trace(grid, uniform_lookup, rays, any_hit=any_hit)
 
 
 @functools.partial(jax.jit, static_argnames=("refs_per_iter", "any_hit"))

@@ -1,22 +1,30 @@
-"""Step-synchronous wavefront traversal (jnp, batched).
+"""Step-synchronous wavefront traversal (jnp, batched) with ray compaction.
 
 The reference traverses with one CUDA thread per ray chasing pointers
 (src/traverse.cu); on TPU the equivalent performance shape is a *wavefront*:
-all rays advance in lockstep through a ``while_loop`` whose body is pure
-batched vector math plus batched gathers — no per-ray control flow. Each
-iteration every live ray either tests a fixed-size chunk of its current
-cell's refs (masked Moller-Trumbore over lanes) or steps past the whole
-cell (the irregular-grid "skip by cell bbox, not voxel" rule, which is what
-makes expanded cells pay off: reference src/traverse.cu computes exit t
-from the CELL's int bbox).
+all rays advance in lockstep, each iteration doing pure batched vector math
+plus batched gathers — no per-ray control flow. Each iteration every live
+ray either tests a fixed-size chunk of its current cell's refs (masked
+Moller-Trumbore over lanes) or steps past the whole cell (the
+irregular-grid "skip by cell bbox, not voxel" rule: reference
+src/traverse.cu computes exit t from the CELL's int bbox).
 
-The grid is abstracted behind two callables so the same machine drives the
-uniform and the two-level irregular grid:
-  lookup(voxel i32[N,3]) -> (cell i32[N], cmin i32[N,3], cmax i32[N,3])
-  — cmin/cmax are the cell's inclusive int bbox in fine-voxel coords.
+Lockstep has a tail problem SIMT does not: one long-marching ray keeps the
+whole batch burning gather bandwidth. ``trace`` therefore runs in rounds —
+march a capped number of iterations, scatter results, compact survivors
+into a power-of-two-smaller batch, repeat (BASELINE.json names ray
+sorting/compaction as the divergence strategy). Cost becomes proportional
+to live rays, not to the slowest ray.
+
+Grid polymorphism: every grid object exposes `.cell_starts`, `.ref_ids`,
+`.bbox_lo/.bbox_hi`, `.tris`, `.fine_dims`, and a module-level
+``lookup_fn(grid, voxel i32[N,3]) -> (cell, cmin, cmax)`` is passed
+statically so jit caches per grid *type*, not per instance.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,65 +33,52 @@ from ..core.intersect import moller_trumbore, safe_inv_dir, slab_test
 from ..core.types import Hits, Rays, Triangles
 
 
-def _load_cell(lookup, starts, voxel, in_bounds):
+def _load_cell(grid, lookup_fn, voxel, in_bounds):
     """Masked cell fetch: out-of-bounds rays get an empty range."""
     safe_vox = jnp.maximum(voxel, 0)
-    cell, cmin, cmax = lookup(safe_vox)
-    s0 = starts[cell]
-    s1 = starts[cell + 1]
-    s0 = jnp.where(in_bounds, s0, 0)
-    s1 = jnp.where(in_bounds, s1, 0)
-    return cell, cmin, cmax, s0, s1
+    cell, cmin, cmax = lookup_fn(grid, safe_vox)
+    starts = grid.cell_starts
+    s0 = jnp.where(in_bounds, starts[cell], 0)
+    s1 = jnp.where(in_bounds, starts[cell + 1], 0)
+    return cmin, cmax, s0, s1
 
 
-def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
-                    bbox_lo, bbox_hi, fine_dims, refs_per_iter: int = 8,
-                    any_hit: bool = False, max_iters: int = 1 << 20) -> Hits:
-    """March all rays through the grid in lockstep.
-
-    Not jitted itself (``lookup`` is a closure over grid arrays); callers
-    wrap it in their own jit (see grid/uniform.py, grid/irregular.py).
-
-    fine_dims: static (3,) ints — dims of the *fine* voxel lattice that
-    cmin/cmax and `voxel` are expressed in (== dims for the uniform grid,
-    top_dims << levels for the irregular grid). max_iters is a safety cap
-    against degenerate float edge cases causing a non-advancing ray.
-    """
+def _init_state(grid, lookup_fn, rays: Rays):
     n = rays.count
-    dims = jnp.asarray(fine_dims, jnp.int32)
-    cs = (bbox_hi - bbox_lo) / jnp.asarray(fine_dims, jnp.float32)
-    inv_cs = 1.0 / cs
-
-    org = rays.org
-    dirs = rays.dir
-    inv_dir = safe_inv_dir(dirs)
-    pos_dir = dirs >= 0
-
-    enter, _, ok = slab_test(org, inv_dir, bbox_lo, bbox_hi,
+    dims = jnp.asarray(grid.fine_dims, jnp.int32)
+    cs = (grid.bbox_hi - grid.bbox_lo) / jnp.asarray(grid.fine_dims,
+                                                     jnp.float32)
+    inv_dir = safe_inv_dir(rays.dir)
+    enter, _, ok = slab_test(rays.org, inv_dir, grid.bbox_lo, grid.bbox_hi,
                              rays.tmin, rays.tmax)
-    p_in = org + enter[:, None] * dirs
-    vox0 = jnp.clip(jnp.floor((p_in - bbox_lo) * inv_cs).astype(jnp.int32),
+    p_in = rays.org + enter[:, None] * rays.dir
+    vox0 = jnp.clip(jnp.floor((p_in - grid.bbox_lo) / cs).astype(jnp.int32),
                     0, dims - 1)
-
-    cell0, cmin0, cmax0, s00, s10 = _load_cell(lookup, starts, vox0, ok)
-
-    state = dict(
-        it=jnp.int32(0),
-        alive=ok,
-        cursor=s00,
-        end=s10,
-        cmin=cmin0,
-        cmax=cmax0,
+    cmin0, cmax0, s00, s10 = _load_cell(grid, lookup_fn, vox0, ok)
+    return dict(
+        alive=ok, cursor=s00, end=s10, cmin=cmin0, cmax=cmax0,
+        rays=rays, idx=jnp.arange(n, dtype=jnp.int32),
         best_t=jnp.full((n,), jnp.inf, jnp.float32),
         best_id=jnp.full((n,), -1, jnp.int32),
         best_u=jnp.zeros((n,), jnp.float32),
         best_v=jnp.zeros((n,), jnp.float32),
     )
 
-    def cond(st):
-        return jnp.any(st["alive"]) & (st["it"] < max_iters)
+
+def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
+    dims = jnp.asarray(grid.fine_dims, jnp.int32)
+    cs = (grid.bbox_hi - grid.bbox_lo) / jnp.asarray(grid.fine_dims,
+                                                     jnp.float32)
+    inv_cs = 1.0 / cs
+    tris = grid.tris
+    ref_ids = grid.ref_ids
 
     def body(st):
+        rays = st["rays"]
+        org = rays.org
+        dirs = rays.dir
+        inv_dir = safe_inv_dir(dirs)
+        pos_dir = dirs >= 0
         alive = st["alive"]
         cursor = st["cursor"]
         end = st["end"]
@@ -101,7 +96,8 @@ def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
             h, t, u, v = moller_trumbore(
                 org, dirs, tris.v0[tid], tris.e1[tid], tris.e2[tid],
                 rays.tmin, rays.tmax)
-            better = m & h & ((t < best_t) | ((t == best_t) & (tid < best_id)))
+            better = m & h & ((t < best_t)
+                              | ((t == best_t) & (tid < best_id)))
             best_t = jnp.where(better, t, best_t)
             best_id = jnp.where(better, tid, best_id)
             best_u = jnp.where(better, u, best_u)
@@ -110,10 +106,8 @@ def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
 
         # --- Phase 2: rays whose cell is exhausted step past the cell. --
         finished_cell = alive & (cursor >= end)
-        # Exit t per axis from the cell's int bbox (NOT the voxel) — the
-        # cell-skipping rule that exploits merged/expanded cells.
-        hi_plane = bbox_lo + (st["cmax"] + 1).astype(jnp.float32) * cs
-        lo_plane = bbox_lo + st["cmin"].astype(jnp.float32) * cs
+        hi_plane = grid.bbox_lo + (st["cmax"] + 1).astype(jnp.float32) * cs
+        lo_plane = grid.bbox_lo + st["cmin"].astype(jnp.float32) * cs
         t_axes = jnp.where(pos_dir, (hi_plane - org) * inv_dir,
                            (lo_plane - org) * inv_dir)
         t_axes = jnp.where(dirs != 0.0, t_axes, jnp.inf)
@@ -126,32 +120,193 @@ def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
             terminated = best_t <= t_exit
         terminated = terminated | (t_exit >= rays.tmax)
 
-        # Next voxel: jump on the exit axis to just past the cell bbox;
-        # recompute the other axes from the ray point at t_exit (robust —
-        # no accumulation of incremental DDA error across skips).
+        # Next voxel: jump past the cell bbox on the exit axis; recompute
+        # the other axes from the ray point at t_exit, clamped into the
+        # cell bbox (at t_exit the ray is still inside the cell's slab on
+        # non-exit axes — without the clamp, float rounding can step a
+        # non-exit axis backwards and two cells ping-pong forever).
         p_exit = org + t_exit[:, None] * dirs
-        vox = jnp.clip(jnp.floor((p_exit - bbox_lo) * inv_cs)
-                       .astype(jnp.int32), 0, dims - 1)
+        vox = jnp.floor((p_exit - grid.bbox_lo) * inv_cs).astype(jnp.int32)
+        vox = jnp.clip(vox, st["cmin"], st["cmax"])
         jump = jnp.where(pos_dir, st["cmax"] + 1, st["cmin"] - 1)
         onehot = jax.nn.one_hot(axis, 3, dtype=jnp.bool_)
         vox = jnp.where(onehot, jump, vox)
         in_bounds = jnp.all((vox >= 0) & (vox < dims), axis=-1)
 
         advance = finished_cell & ~terminated & in_bounds
-        cell, cmin, cmax, s0, s1 = _load_cell(lookup, starts, vox, advance)
+        cmin, cmax, s0, s1 = _load_cell(grid, lookup_fn, vox, advance)
 
         new_alive = alive & jnp.where(finished_cell, advance, True)
         return dict(
-            it=st["it"] + 1,
             alive=new_alive,
             cursor=jnp.where(advance, s0, cursor),
             end=jnp.where(advance, s1, end),
             cmin=jnp.where(advance[:, None], cmin, st["cmin"]),
             cmax=jnp.where(advance[:, None], cmax, st["cmax"]),
+            rays=rays, idx=st["idx"],
             best_t=best_t, best_id=best_id, best_u=best_u, best_v=best_v,
         )
 
-    out = jax.lax.while_loop(cond, body, state)
+    return body
+
+
+def max_march_iters(fine_dims) -> int:
+    """Upper bound on one ray's march length (safety cap)."""
+    return 8 * int(sum(fine_dims)) + 256
+
+
+def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
+                    bbox_lo, bbox_hi, fine_dims, refs_per_iter: int = 8,
+                    any_hit: bool = False,
+                    max_iters: int | None = None) -> Hits:
+    """Single while_loop to completion (no compaction) — the simple path
+    used by tests and small workloads. Callers wrap in jit."""
+
+    class _G:  # adapt the loose-array interface to the grid protocol
+        pass
+
+    g = _G()
+    g.cell_starts = starts
+    g.ref_ids = ref_ids
+    g.bbox_lo = bbox_lo
+    g.bbox_hi = bbox_hi
+    g.tris = tris
+    g.fine_dims = tuple(fine_dims)
+
+    def lookup_fn(_g, vox):
+        return lookup(vox)
+
+    if max_iters is None:
+        max_iters = max_march_iters(fine_dims)
+    state = _init_state(g, lookup_fn, rays)
+    state["it"] = jnp.int32(0)
+    body = _make_body(g, lookup_fn, refs_per_iter, any_hit)
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["it"] < max_iters)
+
+    def body_it(st):
+        it = st.pop("it")
+        out = body(st)
+        out["it"] = it + 1
+        return out
+
+    out = jax.lax.while_loop(cond, body_it, state)
+    found = out["best_id"] >= 0
+    return Hits(tri_id=out["best_id"],
+                t=jnp.where(found, out["best_t"], jnp.inf),
+                u=out["best_u"], v=out["best_v"])
+
+
+# --------------------------------------------------------------------------
+# Compacted round-based tracer (the fast path).
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("lookup_fn",))
+def _jit_init(grid, rays, lookup_fn):
+    return _init_state(grid, lookup_fn, rays)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lookup_fn", "refs_per_iter", "any_hit", "cap"))
+def _jit_segment(grid, state, lookup_fn, refs_per_iter, any_hit, cap):
+    """Run up to `cap` iterations (early-exits when all rays are done)."""
+    body = _make_body(grid, lookup_fn, refs_per_iter, any_hit)
+    state = dict(state, it=jnp.int32(0))
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["it"] < cap)
+
+    def body_it(st):
+        it = st.pop("it")
+        out = body(st)
+        out["it"] = it + 1
+        return out
+
+    out = jax.lax.while_loop(cond, body_it, state)
+    iters = out.pop("it")
+    return out, jnp.sum(out["alive"].astype(jnp.int32)), iters
+
+
+@jax.jit
+def _jit_scatter(out, state):
+    """Write the batch's current results into the full-size output."""
+    idx = state["idx"]
+    return dict(
+        best_t=out["best_t"].at[idx].set(state["best_t"]),
+        best_id=out["best_id"].at[idx].set(state["best_id"]),
+        best_u=out["best_u"].at[idx].set(state["best_u"]),
+        best_v=out["best_v"].at[idx].set(state["best_v"]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _jit_compact(state, size: int):
+    """Pack live rays to the front and truncate the batch to `size`."""
+    alive = state["alive"]
+    n = alive.shape[0]
+    key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+    _, perm = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                           num_keys=1, is_stable=True)
+    perm = perm[:size]
+
+    def take(x):
+        return jax.tree.map(lambda a: a[perm], x)
+
+    return {k: take(v) for k, v in state.items()}
+
+
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 4,
+          any_hit: bool = False, round_iters: int = 64,
+          min_batch: int = 8192) -> Hits:
+    """Round-based compacted wavefront trace (host-orchestrated).
+
+    Marches `round_iters` lockstep iterations, scatters results, compacts
+    the survivors into the next power-of-two batch, doubles the cap, and
+    repeats until no ray is alive. Batch sizes are pow2-bucketed so each
+    (size, cap) pair compiles once and is reused across frames.
+    """
+    n = rays.count
+    state = _jit_init(grid, rays, lookup_fn)
+    out = dict(
+        best_t=jnp.full((n,), jnp.inf, jnp.float32),
+        best_id=jnp.full((n,), -1, jnp.int32),
+        best_u=jnp.zeros((n,), jnp.float32),
+        best_v=jnp.zeros((n,), jnp.float32),
+    )
+    import os
+    import time
+    debug = bool(os.environ.get("HAGRID_TRACE_DEBUG"))
+    cap = round_iters
+    hard_cap = max_march_iters(grid.fine_dims)
+    size = n
+    while True:
+        t0 = time.perf_counter() if debug else 0.0
+        state, live, iters = _jit_segment(grid, state, lookup_fn,
+                                          refs_per_iter, any_hit,
+                                          min(cap, hard_cap))
+        out = _jit_scatter(out, state)
+        live = int(live)
+        if debug:
+            jax.block_until_ready(out["best_t"])
+            print(f"[trace] size={size} cap={min(cap, hard_cap)} "
+                  f"iters={int(iters)} live={live} "
+                  f"dt={time.perf_counter() - t0:.3f}s", flush=True)
+        if live == 0 or cap >= hard_cap:
+            break
+        new_size = min(max(_pow2_at_least(live), min_batch), size)
+        if new_size < size:
+            state = _jit_compact(state, new_size)
+            size = new_size
+        cap *= 2
     found = out["best_id"] >= 0
     return Hits(tri_id=out["best_id"],
                 t=jnp.where(found, out["best_t"], jnp.inf),

@@ -15,34 +15,55 @@ import dataclasses
 import jax
 
 from ..core.types import Hits, Rays, Triangles
-from ..grid.uniform import UniformGrid, build_uniform, trace_uniform
+from ..grid import irregular, uniform
 from ..utils.config import BuildParams
 
 
 @dataclasses.dataclass
 class RenderSession:
     params: BuildParams
-    grid: UniformGrid
+    structure: str  # "irregular" (flagship) or "uniform"
+    grid: object
 
     @staticmethod
-    def create(tris: Triangles, params: BuildParams | None = None
-               ) -> "RenderSession":
+    def create(tris: Triangles, params: BuildParams | None = None,
+               structure: str = "irregular") -> "RenderSession":
         params = params or BuildParams()
-        grid = build_uniform(tris, density=params.snd_density)
-        return RenderSession(params=params, grid=grid)
+        s = RenderSession(params=params, structure=structure, grid=None)
+        s.rebuild(tris)
+        return s
 
     def rebuild(self, tris: Triangles):
-        """Per-frame rebuild. Shapes are stable across calls (same caps), so
-        only the first call compiles."""
-        self.grid = build_uniform(
-            tris, density=self.params.snd_density,
-            ref_capacity=self.grid.ref_ids.shape[0], dims=self.grid.dims)
+        """Per-frame rebuild. Capacity buckets are stable across frames, so
+        only the first frame compiles."""
+        if self.structure == "uniform":
+            kw = {}
+            if self.grid is not None:
+                kw = dict(ref_capacity=self.grid.ref_ids.shape[0],
+                          dims=self.grid.dims)
+            self.grid = uniform.build_uniform(
+                tris, density=self.params.snd_density, **kw)
+        else:
+            kw = {}
+            if self.grid is not None:
+                kw = dict(top_dims=self.grid.top_dims)
+            self.grid = irregular.build_irregular(tris, self.params, **kw)
         return self.grid.total_refs  # something to block on
 
     def trace(self, rays: Rays, any_hit: bool = False) -> Hits:
-        return trace_uniform(self.grid, rays, any_hit=any_hit)
+        if self.structure == "uniform":
+            return uniform.trace_uniform_fast(self.grid, rays,
+                                              any_hit=any_hit)
+        return irregular.trace_irregular_fast(self.grid, rays,
+                                              any_hit=any_hit)
 
     def describe(self) -> str:
-        g = self.grid
-        return (f"uniform dims={g.dims} cells={g.num_cells} "
-                f"refs={int(jax.device_get(g.total_refs))}")
+        if self.structure == "uniform":
+            g = self.grid
+            return (f"uniform dims={g.dims} cells={g.num_cells} "
+                    f"refs={int(jax.device_get(g.total_refs))}")
+        st = self.grid.stats()
+        return (f"irregular top={st['top_dims']} levels={st['levels']} "
+                f"cells={st['cells']} refs={st['refs']} "
+                f"mean_refs={st['refs_per_cell_mean']:.2f} "
+                f"empty={st['empty_cell_frac']:.2f}")

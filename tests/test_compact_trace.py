@@ -1,0 +1,70 @@
+"""Compacted round-based tracer vs oracle (both grid types)."""
+
+import numpy as np
+
+from hagrid_tpu import oracle, scenes
+from hagrid_tpu.core.camera import primary_rays
+from hagrid_tpu.core.types import Triangles
+from hagrid_tpu.grid.irregular import build_irregular, trace_irregular_fast
+from hagrid_tpu.grid.uniform import build_uniform, trace_uniform_fast
+from hagrid_tpu.render.session import RenderSession
+from hagrid_tpu.utils.config import BuildParams
+
+from test_uniform_grid import assert_hits_match, random_rays
+
+SMALL = BuildParams(top_density=0.3, snd_density=2.0, levels=2,
+                    merge_passes=2, expansion_passes=2)
+
+
+def test_compact_uniform_matches_oracle():
+    v, f = scenes.random_soup(150, seed=1)
+    tris = Triangles.from_mesh(v, f)
+    grid = build_uniform(tris, density=3.0)
+    rays = random_rays(300, np.asarray(grid.bbox_lo),
+                       np.asarray(grid.bbox_hi), seed=11)
+    # min_batch tiny so the compaction rounds actually trigger in tests
+    from hagrid_tpu.ops import wavefront
+    from hagrid_tpu.grid.uniform import uniform_lookup
+    got = wavefront.trace(grid, uniform_lookup, rays, round_iters=4,
+                          min_batch=16)
+    want = oracle.closest_hit(rays, tris)
+    assert_hits_match(got, want)
+
+
+def test_compact_irregular_matches_oracle():
+    v, f = scenes.random_soup(150, seed=2)
+    tris = Triangles.from_mesh(v, f)
+    grid = build_irregular(tris, SMALL)
+    rays = random_rays(300, np.asarray(grid.bbox_lo),
+                       np.asarray(grid.bbox_hi), seed=12)
+    from hagrid_tpu.ops import wavefront
+    from hagrid_tpu.grid.irregular import irregular_lookup
+    got = wavefront.trace(grid, irregular_lookup, rays, round_iters=4,
+                          min_batch=16)
+    want = oracle.closest_hit(rays, tris)
+    assert_hits_match(got, want)
+
+
+def test_session_irregular_cornell():
+    v, f = scenes.cornell_box()
+    tris = Triangles.from_mesh(v, f)
+    s = RenderSession.create(tris, SMALL)
+    rays = primary_rays(scenes.cornell_camera(), 32, 32)
+    got = s.trace(rays)
+    want = oracle.closest_hit(rays, tris)
+    assert_hits_match(got, want)
+    s.rebuild(tris)  # second build reuses capacities
+    got2 = s.trace(rays)
+    assert_hits_match(got2, want)
+
+
+def test_session_any_hit():
+    v, f = scenes.random_soup(100, seed=3)
+    tris = Triangles.from_mesh(v, f)
+    s = RenderSession.create(tris, SMALL)
+    rays = random_rays(200, np.asarray(s.grid.bbox_lo),
+                       np.asarray(s.grid.bbox_hi), seed=13)
+    got = s.trace(rays, any_hit=True)
+    want = oracle.any_hit(rays, tris)
+    np.testing.assert_array_equal(np.asarray(got.tri_id) >= 0,
+                                  np.asarray(want))
