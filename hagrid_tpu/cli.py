@@ -1,0 +1,156 @@
+"""Command-line interface, mirroring the reference binary's flags.
+
+The reference main.cpp exposes: scene path, camera (eye/center/up/fov),
+image size, build params (--top-density, --snd-density, merge alpha,
+expansion passes), benchmark iteration counts. Same surface here, plus
+TPU-specific knobs (structure choice, platform override).
+
+  python -m hagrid_tpu.cli render --scene sponza --size 1024x1024 \
+      --out out.png
+  python -m hagrid_tpu.cli bench --scene sponza --iters 5
+  python -m hagrid_tpu.cli stats --scene cornell
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _common(ap: argparse.ArgumentParser):
+    ap.add_argument("--scene", default="cornell",
+                    help="scene name (cornell|sponza|san_miguel) or .obj path")
+    ap.add_argument("--size", default="512x512", help="WxH")
+    ap.add_argument("--eye", type=float, nargs=3, default=None)
+    ap.add_argument("--center", type=float, nargs=3, default=None)
+    ap.add_argument("--up", type=float, nargs=3, default=(0.0, 1.0, 0.0))
+    ap.add_argument("--fov", type=float, default=None)
+    ap.add_argument("--top-density", type=float, default=0.12,
+                    help="top-level grid density (lambda1, ref default 0.12)")
+    ap.add_argument("--snd-density", type=float, default=2.4,
+                    help="second-level density (lambda2, ref default 2.4)")
+    ap.add_argument("--alpha", type=float, default=0.995,
+                    help="SAH merge acceptance factor")
+    ap.add_argument("--expansion-passes", type=int, default=3)
+    ap.add_argument("--merge-passes", type=int, default=3)
+    ap.add_argument("--levels", type=int, default=3,
+                    help="max per-cell subdivision log2")
+    ap.add_argument("--structure", choices=("irregular", "uniform"),
+                    default="irregular")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (cpu|tpu)")
+
+
+def _setup(args):
+    from hagrid_tpu.utils import cache
+
+    cache.enable()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from hagrid_tpu import scenes
+    from hagrid_tpu.core.camera import Camera
+    from hagrid_tpu.core.types import Triangles
+    from hagrid_tpu.render.session import RenderSession
+    from hagrid_tpu.utils.config import BuildParams
+
+    v, f, cam = scenes.load_scene(args.scene)
+    if args.eye is not None or args.center is not None or args.fov:
+        cam = Camera(eye=tuple(args.eye or cam.eye),
+                     center=tuple(args.center or cam.center),
+                     up=tuple(args.up), fov_deg=args.fov or cam.fov_deg)
+    tris = Triangles.from_mesh(v, f)
+    params = BuildParams(top_density=args.top_density,
+                         snd_density=args.snd_density, alpha=args.alpha,
+                         expansion_passes=args.expansion_passes,
+                         merge_passes=args.merge_passes, levels=args.levels)
+    session = RenderSession.create(tris, params, structure=args.structure)
+    return session, cam, tris
+
+
+def cmd_render(args):
+    from hagrid_tpu.core.camera import primary_rays
+    from hagrid_tpu.io.image import shade_eyelight, write_png, write_ppm
+
+    session, cam, tris = _setup(args)
+    w, h = (int(x) for x in args.size.split("x"))
+    rays = primary_rays(cam, w, h)
+    t0 = time.perf_counter()
+    hits = session.trace(rays)
+    dt = time.perf_counter() - t0
+    img = shade_eyelight(np.asarray(hits.tri_id), np.asarray(hits.t),
+                         np.asarray(tris.n), np.asarray(rays.dir), w, h)
+    if args.out.endswith(".ppm"):
+        write_ppm(args.out, img)
+    else:
+        write_png(args.out, img)
+    frac = float(np.mean(np.asarray(hits.tri_id) >= 0))
+    print(f"rendered {args.out}: {w}x{h} in {dt * 1e3:.1f} ms "
+          f"({w * h / dt / 1e6:.2f} Mrays/s incl. warmup), "
+          f"hit fraction {frac:.3f}")
+
+
+def cmd_bench(args):
+    import jax
+
+    from hagrid_tpu.core.camera import primary_rays
+
+    session, cam, tris = _setup(args)
+    w, h = (int(x) for x in args.size.split("x"))
+    rays = primary_rays(cam, w, h)
+
+    def timed(fn, *a, iters=args.iters):
+        jax.block_until_ready(fn(*a))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    build_s = timed(session.rebuild, tris)
+    trace_s = timed(lambda r: session.trace(r).t, rays)
+    print(json.dumps({
+        "scene": args.scene, "tris": tris.count, "rays": w * h,
+        "build_ms": round(build_s * 1e3, 2),
+        "mrays_per_s": round(w * h / trace_s / 1e6, 2),
+        "structure": args.structure,
+        "grid": session.describe(),
+    }))
+
+
+def cmd_stats(args):
+    session, cam, tris = _setup(args)
+    print(session.describe())
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hagrid_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to an image")
+    _common(r)
+    r.add_argument("--out", default="out.png")
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("bench", help="build + trace benchmark")
+    _common(b)
+    b.add_argument("--iters", type=int, default=5)
+    b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("stats", help="print grid statistics")
+    _common(s)
+    s.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

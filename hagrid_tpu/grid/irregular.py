@@ -68,6 +68,13 @@ class IrregularGrid:
     num_entries: jnp.ndarray  # i32[]
     total_refs: jnp.ndarray   # i32[]
     tris: Triangles
+    # Packed hot-path tables (built by _optimize; see ops/wavefront.py):
+    # gathers are the traversal currency on TPU, so the lookup chain is
+    # squeezed to two row-gathers and each ref test to one.
+    top_info: jnp.ndarray     # i32[Ct] = offset << 3 | res_log
+    erec: jnp.ndarray         # i32[E_cap, 8] = [cmin, cmax, start, end]
+    ref_tris: jnp.ndarray     # f32[R_cap, 12] = [v0, e1, e2, id_bits, pad]
+    is_packed: bool = flax.struct.field(pytree_node=False, default=True)
 
     @property
     def fine_dims(self) -> tuple:
@@ -238,7 +245,7 @@ def _hash_bit(x, salt):
     return (h & 1).astype(jnp.bool_)
 
 
-def _merge_pass(grid: IrregularGrid, axis: int, salt: int,
+def _merge_pass(grid: IrregularGrid, salt, axis: int,
                 alpha: float) -> IrregularGrid:
     """One merge pass along `axis`: each alive cell proposes its +axis
     neighbor if the pair tiles a box and the SAH cost of the union beats
@@ -386,6 +393,11 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
 
+    import os
+    import time
+    debug = bool(os.environ.get("HAGRID_BUILD_DEBUG"))
+
+    t0 = time.perf_counter()
     rt_cap = _bucket(int(n * 2.5 * params.ref_slack))
     while True:
         (top_starts, top_keys, top_refs, rt_total, res_log, offsets,
@@ -395,7 +407,11 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
         if t <= rt_cap:
             break
         rt_cap = _bucket(int(t * 1.25))
+    if debug:
+        print(f"[build] stage_top: {(time.perf_counter() - t0) * 1e3:.1f} ms"
+              f" (refs {t}/{rt_cap})", flush=True)
 
+    t0 = time.perf_counter()
     e_cap = _bucket(int(jax.device_get(e_total)) + 1)
     r2_cap = _bucket(int(t * 3.0 * params.ref_slack))
     while True:
@@ -407,34 +423,85 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
         if t2 <= r2_cap:
             break
         r2_cap = _bucket(int(t2 * 1.25))
+    if debug:
+        print(f"[build] stage_cells: "
+              f"{(time.perf_counter() - t0) * 1e3:.1f} ms "
+              f"(refs {t2}/{r2_cap}, entries {int(jax.device_get(e_total))}"
+              f"/{e_cap})", flush=True)
 
+    n_top = int(np.prod(top_dims))
     grid = IrregularGrid(
         top_dims=top_dims, levels=levels, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
         top_res_log=res_log, top_offset=offsets, entries=entries,
         cell_min=cmin, cell_max=cmax, cell_starts=cell_starts, ref_ids=refs,
-        alive=alive, num_entries=e_total, total_refs=r2_total, tris=tris)
+        alive=alive, num_entries=e_total, total_refs=r2_total, tris=tris,
+        top_info=jnp.zeros((n_top,), jnp.int32),
+        erec=jnp.zeros((e_cap, 8), jnp.int32),
+        ref_tris=jnp.zeros((r2_cap, 12), jnp.float32))
 
     grid = _optimize(grid, params)
     return grid
 
 
-@functools.partial(jax.jit, static_argnames=("merge_passes",
-                                             "expansion_passes", "alpha"))
-def _optimize_jit(grid: IrregularGrid, merge_passes: int,
-                  expansion_passes: int, alpha: float) -> IrregularGrid:
-    for p in range(merge_passes):
-        for axis in range(3):
-            grid = _merge_pass(grid, axis, salt=p * 3 + axis + 1,
-                               alpha=alpha)
-    for _ in range(expansion_passes):
-        for axis in range(3):
-            grid = _expand_pass(grid, axis)
-    return grid
+def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
+    """Build the packed hot-path tables from the canonical arrays."""
+    top_info = (grid.top_offset << 3) | grid.top_res_log
+    e = jnp.arange(grid.entries.shape[0], dtype=jnp.int32)
+    cell = grid.entries
+    starts = grid.cell_starts
+    erec = jnp.concatenate([
+        grid.cell_min[cell], grid.cell_max[cell],
+        starts[cell][:, None], starts[cell + 1][:, None]], axis=1)
+    del e
+    tid = jnp.maximum(grid.ref_ids, 0)
+    tris = grid.tris
+    idb = jax.lax.bitcast_convert_type(grid.ref_ids.astype(jnp.int32),
+                                       jnp.float32)
+    pad = jnp.zeros((tid.shape[0], 2), jnp.float32)
+    ref_tris = jnp.concatenate([
+        tris.v0[tid], tris.e1[tid], tris.e2[tid], idb[:, None], pad], axis=1)
+    return grid.replace(top_info=top_info, erec=erec, ref_tris=ref_tris)
+
+
+# Per-pass jits: one compile per axis (shapes identical across passes;
+# salt is traced), instead of one 18-pass megagraph that takes minutes to
+# compile. Merge/expand dispatch overhead is negligible next to the sorts.
+_merge_jit = jax.jit(_merge_pass, static_argnames=("axis", "alpha"))
+_expand_jit = jax.jit(_expand_pass, static_argnames=("axis",))
+_pack_jit = jax.jit(_pack_tables)
 
 
 def _optimize(grid: IrregularGrid, params: BuildParams) -> IrregularGrid:
-    return _optimize_jit(grid, params.merge_passes, params.expansion_passes,
-                         float(params.alpha))
+    import os
+    import time
+
+    debug = bool(os.environ.get("HAGRID_BUILD_DEBUG"))
+    for p in range(params.merge_passes):
+        for axis in range(3):
+            t0 = time.perf_counter()
+            grid = _merge_jit(grid, jnp.int32(p * 3 + axis + 1), axis=axis,
+                              alpha=float(params.alpha))
+            if debug:
+                jax.block_until_ready(grid.cell_starts)
+                print(f"[build] merge p{p} ax{axis}: "
+                      f"{(time.perf_counter() - t0) * 1e3:.1f} ms",
+                      flush=True)
+    for p in range(params.expansion_passes):
+        for axis in range(3):
+            t0 = time.perf_counter()
+            grid = _expand_jit(grid, axis=axis)
+            if debug:
+                jax.block_until_ready(grid.cell_max)
+                print(f"[build] expand p{p} ax{axis}: "
+                      f"{(time.perf_counter() - t0) * 1e3:.1f} ms",
+                      flush=True)
+    t0 = time.perf_counter()
+    grid = _pack_jit(grid)
+    if debug:
+        jax.block_until_ready(grid.erec)
+        print(f"[build] pack: {(time.perf_counter() - t0) * 1e3:.1f} ms",
+              flush=True)
+    return grid
 
 
 # --------------------------------------------------------------------------

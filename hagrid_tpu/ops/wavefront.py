@@ -34,8 +34,27 @@ from ..core.types import Hits, Rays, Triangles
 
 
 def _load_cell(grid, lookup_fn, voxel, in_bounds):
-    """Masked cell fetch: out-of-bounds rays get an empty range."""
+    """Masked cell fetch: out-of-bounds rays get an empty range.
+
+    Packed grids (irregular) answer in TWO row-gathers: a packed top-info
+    word and an 8-wide entry record [cmin, cmax, start, end]. The generic
+    path costs ~7 gathers; gathers are the hot-loop currency on TPU."""
     safe_vox = jnp.maximum(voxel, 0)
+    if getattr(grid, "is_packed", False):
+        lv = grid.levels
+        top = safe_vox >> lv
+        tdx, tdy, _ = grid.top_dims
+        tidx = (top[:, 2] * tdy + top[:, 1]) * tdx + top[:, 0]
+        info = grid.top_info[tidx]
+        r = info & 7
+        off = info >> 3
+        local = (safe_vox & ((1 << lv) - 1)) >> (lv - r)[:, None]
+        side = jnp.int32(1) << r
+        sub = (local[:, 2] * side + local[:, 1]) * side + local[:, 0]
+        rec = grid.erec[off + sub]
+        s0 = jnp.where(in_bounds, rec[:, 6], 0)
+        s1 = jnp.where(in_bounds, rec[:, 7], 0)
+        return rec[:, 0:3], rec[:, 3:6], s0, s1
     cell, cmin, cmax = lookup_fn(grid, safe_vox)
     starts = grid.cell_starts
     s0 = jnp.where(in_bounds, starts[cell], 0)
@@ -57,6 +76,7 @@ def _init_state(grid, lookup_fn, rays: Rays):
     cmin0, cmax0, s00, s10 = _load_cell(grid, lookup_fn, vox0, ok)
     return dict(
         alive=ok, cursor=s00, end=s10, cmin=cmin0, cmax=cmax0,
+        t_cur=jnp.maximum(enter, rays.tmin),
         rays=rays, idx=jnp.arange(n, dtype=jnp.int32),
         best_t=jnp.full((n,), jnp.inf, jnp.float32),
         best_id=jnp.full((n,), -1, jnp.int32),
@@ -88,14 +108,26 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
         best_id = st["best_id"]
         best_u = st["best_u"]
         best_v = st["best_v"]
+        packed = getattr(grid, "is_packed", False)
         for k in range(refs_per_iter):
             r = cursor + k
             m = alive & (r < end)
-            tid = ref_ids[jnp.where(m, r, 0)]
+            rm = jnp.where(m, r, 0)
+            if packed:
+                # One 12-wide row-gather: [v0, e1, e2, tri_id_bits, pad...]
+                row = grid.ref_tris[rm]
+                v0 = row[:, 0:3]
+                e1 = row[:, 3:6]
+                e2 = row[:, 6:9]
+                tid = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+            else:
+                tid = ref_ids[rm]
+                v0 = tris.v0[jnp.where(m, tid, 0)]
+                e1 = tris.e1[jnp.where(m, tid, 0)]
+                e2 = tris.e2[jnp.where(m, tid, 0)]
             tid = jnp.where(m, tid, 0)
-            h, t, u, v = moller_trumbore(
-                org, dirs, tris.v0[tid], tris.e1[tid], tris.e2[tid],
-                rays.tmin, rays.tmax)
+            h, t, u, v = moller_trumbore(org, dirs, v0, e1, e2,
+                                         rays.tmin, rays.tmax)
             better = m & h & ((t < best_t)
                               | ((t == best_t) & (tid < best_id)))
             best_t = jnp.where(better, t, best_t)
@@ -106,31 +138,44 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
 
         # --- Phase 2: rays whose cell is exhausted step past the cell. --
         finished_cell = alive & (cursor >= end)
+        t_cur = st["t_cur"]
         hi_plane = grid.bbox_lo + (st["cmax"] + 1).astype(jnp.float32) * cs
         lo_plane = grid.bbox_lo + st["cmin"].astype(jnp.float32) * cs
         t_axes = jnp.where(pos_dir, (hi_plane - org) * inv_dir,
                            (lo_plane - org) * inv_dir)
         t_axes = jnp.where(dirs != 0.0, t_axes, jnp.inf)
-        t_exit = jnp.min(t_axes, axis=-1)
-        axis = jnp.argmin(t_axes, axis=-1)
+        # Only exit planes AHEAD of the ray's march count. Expanded cells
+        # overlap, so a cell entered by clamping can have exit planes the
+        # ray already crossed; choosing one moves t backwards and two cells
+        # ping-pong forever (observed on Sponza). Keeping t monotone and
+        # re-deriving the voxel from the true position breaks every cycle.
+        t_ahead = jnp.where(t_axes > t_cur[:, None], t_axes, jnp.inf)
+        t_exit = jnp.min(t_ahead, axis=-1)
+        axis = jnp.argmin(t_ahead, axis=-1)
+        has_ahead = jnp.isfinite(t_exit)
+        # Degenerate fallback (position already outside the bbox on every
+        # axis): nudge t forward and resolve the true voxel, no jump.
+        t_step = jnp.where(has_ahead, t_exit,
+                           t_cur * 1.000001 + 1e-5)
 
         if any_hit:
             terminated = best_id >= 0
         else:
-            terminated = best_t <= t_exit
-        terminated = terminated | (t_exit >= rays.tmax)
+            terminated = best_t <= t_step
+        terminated = terminated | (t_step >= rays.tmax)
 
         # Next voxel: jump past the cell bbox on the exit axis; recompute
-        # the other axes from the ray point at t_exit, clamped into the
-        # cell bbox (at t_exit the ray is still inside the cell's slab on
-        # non-exit axes — without the clamp, float rounding can step a
-        # non-exit axis backwards and two cells ping-pong forever).
-        p_exit = org + t_exit[:, None] * dirs
-        vox = jnp.floor((p_exit - grid.bbox_lo) * inv_cs).astype(jnp.int32)
-        vox = jnp.clip(vox, st["cmin"], st["cmax"])
+        # the other axes from the ray point at t_step, clamped into the
+        # cell bbox (at t_step the ray is still inside the cell's slab on
+        # non-exit axes; the clamp kills float-rounding regressions).
+        p_exit = org + t_step[:, None] * dirs
+        vox_true = jnp.floor((p_exit - grid.bbox_lo) * inv_cs
+                             ).astype(jnp.int32)
+        vox_in = jnp.clip(vox_true, st["cmin"], st["cmax"])
         jump = jnp.where(pos_dir, st["cmax"] + 1, st["cmin"] - 1)
         onehot = jax.nn.one_hot(axis, 3, dtype=jnp.bool_)
-        vox = jnp.where(onehot, jump, vox)
+        vox_in = jnp.where(onehot, jump, vox_in)
+        vox = jnp.where(has_ahead[:, None], vox_in, vox_true)
         in_bounds = jnp.all((vox >= 0) & (vox < dims), axis=-1)
 
         advance = finished_cell & ~terminated & in_bounds
@@ -143,6 +188,7 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
             end=jnp.where(advance, s1, end),
             cmin=jnp.where(advance[:, None], cmin, st["cmin"]),
             cmax=jnp.where(advance[:, None], cmax, st["cmax"]),
+            t_cur=jnp.where(advance, t_step, t_cur),
             rays=rays, idx=st["idx"],
             best_t=best_t, best_id=best_id, best_u=best_u, best_v=best_v,
         )

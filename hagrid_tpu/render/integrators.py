@@ -1,0 +1,123 @@
+"""Integrators: primary/eyelight, ambient occlusion, shadows, path tracing.
+
+The reference's app layer shades trivially (eye-light) and its benchmark
+generates AO/shadow secondary rays (SURVEY.md §3.5, BASELINE configs #2-4).
+Here every secondary wave is coherence-sorted before tracing (ops/sortrays)
+— the TPU substitute for SIMT divergence absorption.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Rays
+from ..ops import sortrays
+from .sampling import cosine_hemisphere, hit_points_normals
+
+# Self-intersection offsets: scaled by hit distance to stay robust across
+# scene scales (same role as the reference's ray epsilon).
+EPS_REL = 1e-3
+EPS_ABS = 1e-4
+
+
+def _spawn(p, n, d, t_near, t_far):
+    org = p + n * (EPS_REL * jnp.linalg.norm(p, axis=-1, keepdims=True)
+                   + EPS_ABS)
+    return Rays(org=org, dir=d, tmin=jnp.full(d.shape[:1], t_near),
+                tmax=t_far)
+
+
+def trace_sorted(session, rays: Rays, any_hit: bool = False):
+    """Coherence-sort, trace, unsort — the incoherent-wave entry point."""
+    grid = session.grid
+    sorted_rays, perm = sortrays.sort_rays(rays, grid.bbox_lo, grid.bbox_hi)
+    hits = session.trace(sorted_rays, any_hit=any_hit)
+    return sortrays.unsort(hits, perm)
+
+
+def ambient_occlusion(session, rays: Rays, hits, key, n_samples: int = 4,
+                      max_dist: float | None = None):
+    """AO estimate in [0,1] per ray (1 = fully open). Misses get 0."""
+    grid = session.grid
+    tri_n = session.grid.tris.n
+    p, n, found = hit_points_normals(rays, hits, tri_n)
+    if max_dist is None:
+        max_dist = float(jnp.max(grid.bbox_hi - grid.bbox_lo)) * 0.1
+    acc = jnp.zeros(rays.count, jnp.float32)
+    for k in jax.random.split(key, n_samples):
+        d = cosine_hemisphere(k, n)
+        tmax = jnp.where(found, max_dist, 0.0)  # dead rays for misses
+        sec = _spawn(p, n, d, 0.0, tmax)
+        occ = trace_sorted(session, sec, any_hit=True).tri_id >= 0
+        acc = acc + jnp.where(found & ~occ, 1.0, 0.0)
+    return acc / n_samples
+
+
+def shadow(session, rays: Rays, hits, light_pos):
+    """Hard shadow visibility toward a point light. Misses get 0."""
+    tri_n = session.grid.tris.n
+    p, n, found = hit_points_normals(rays, hits, tri_n)
+    lp = jnp.asarray(light_pos, jnp.float32)
+    to_l = lp[None, :] - p
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    d = to_l / (dist[:, None] + 1e-20)
+    cos = jnp.maximum(jnp.sum(n * d, axis=-1), 0.0)
+    tmax = jnp.where(found & (cos > 0), dist * (1.0 - 2.0 * EPS_REL), 0.0)
+    sec = _spawn(p, n, d, 0.0, tmax)
+    blocked = trace_sorted(session, sec, any_hit=True).tri_id >= 0
+    return jnp.where(found & ~blocked, cos, 0.0)
+
+
+def render_ao(session, cam, width: int, height: int, seed: int = 0,
+              n_samples: int = 4):
+    """Primary + AO + shadow combined — BASELINE config #2 workload."""
+    from ..core.camera import primary_rays
+
+    rays = primary_rays(cam, width, height)
+    hits = session.trace(rays)
+    key = jax.random.PRNGKey(seed)
+    ao = ambient_occlusion(session, rays, hits, key, n_samples=n_samples)
+    img = jnp.repeat(ao[:, None], 3, axis=1).reshape(height, width, 3)
+    return img, hits
+
+
+def path_trace(session, cam, width: int, height: int, seed: int = 0,
+               spp: int = 1, max_bounces: int = 4, sky=1.0,
+               albedo: float = 0.7):
+    """Diffuse (Lambertian) path tracer with bounce compaction — BASELINE
+    config #3 (San Miguel workload). Constant sky light, grey albedo.
+
+    Every bounce wave is coherence-sorted + dead-ray-compacted by tmax=0
+    masking; live rays carry a throughput that attenuates by albedo."""
+    from ..core.camera import primary_rays
+
+    n = width * height
+    radiance = jnp.zeros((n,), jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    tri_n = session.grid.tris.n
+
+    for s in range(spp):
+        key, kj = jax.random.split(key)
+        jitter = jax.random.uniform(kj, (n, 2))
+        rays = primary_rays(cam, width, height, jitter=jitter)
+        throughput = jnp.ones((n,), jnp.float32)
+        live = jnp.ones((n,), bool)
+        for bounce in range(max_bounces):
+            hits = (session.trace(rays) if bounce == 0
+                    else trace_sorted(session, rays))
+            found = hits.tri_id >= 0
+            # Escaped rays collect the sky.
+            radiance = radiance + jnp.where(live & ~found,
+                                            throughput * sky, 0.0)
+            live = live & found
+            throughput = throughput * albedo
+            p, nrm, _ = hit_points_normals(rays, hits, tri_n)
+            key, kd = jax.random.split(key)
+            d = cosine_hemisphere(kd, nrm)
+            tmax = jnp.where(live, jnp.inf, 0.0)  # dead rays don't trace
+            rays = _spawn(p, nrm, d, 0.0, tmax)
+        # Rays still alive after max bounces contribute nothing (biased,
+        # same cutoff policy as typical benchmark tracers).
+    img = (radiance / spp)[:, None].repeat(3, 1).reshape(height, width, 3)
+    return img
