@@ -41,8 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import Triangles
-from ..ops.segment import (expand_by_counts, exclusive_scan, segment_starts,
-                           sort_pairs)
+from ..ops.segment import (expand_by_counts, exclusive_scan,
+                           rows_to_segments, segment_starts, sort_pairs)
 from ..utils.config import BuildParams, density_dims
 from .uniform import linear_cell, tri_voxel_ranges
 
@@ -201,9 +201,10 @@ def _stage_cells(tris, bbox_lo, bbox_hi, top_cell_of_ref, top_refs,
     cell_starts = segment_starts(skeys, e_cap)
 
     # Initial cells: one per entry e < e_total; int bbox = sub-voxel extent.
+    # Entry -> owning top cell via scatter+cumsum (see ops/segment.py).
     e = jnp.arange(e_cap, dtype=jnp.int32)
-    owner = jnp.searchsorted(offsets, e, side="right").astype(jnp.int32) - 1
-    owner = jnp.clip(owner, 0, offsets.shape[0] - 1)
+    markers = jnp.zeros((e_cap,), jnp.int32).at[offsets].add(1, mode="drop")
+    owner = jnp.clip(jnp.cumsum(markers) - 1, 0, offsets.shape[0] - 1)
     local = e - offsets[owner]
     r_o = res_log[owner]
     side_o = jnp.int32(1) << r_o
@@ -298,8 +299,7 @@ def _merge_pass(grid: IrregularGrid, salt, axis: int,
     # Re-key every ref to its (possibly merged) owner, sort, dedup.
     r_cap = grid.ref_ids.shape[0]
     rrow = jnp.arange(r_cap, dtype=jnp.int32)
-    owner = jnp.searchsorted(starts, rrow, side="right").astype(jnp.int32) - 1
-    owner = jnp.clip(owner, 0, c_cap - 1)
+    owner = rows_to_segments(starts, r_cap)
     valid = (rrow < grid.total_refs) & (grid.ref_ids >= 0)
     new_owner = merge_map[owner]
     key = jnp.where(valid, new_owner, c_cap)
@@ -371,9 +371,11 @@ def _expand_pass(grid: IrregularGrid, axis: int) -> IrregularGrid:
 # --------------------------------------------------------------------------
 
 def _bucket(n: int, lo: int = 1024) -> int:
+    """Round capacity up to a coarse bucket (25% steps) so per-frame
+    rebuilds reuse compilations without pow2's up-to-2x memory slop."""
     b = lo
     while b < n:
-        b *= 2
+        b += max(b // 4, lo)
     return b
 
 

@@ -22,7 +22,8 @@ def exclusive_scan(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def expand_by_counts(counts: jnp.ndarray, capacity: int):
-    """Run-length expansion without scatters.
+    """Run-length expansion without scatter-ATOMICS and without binary
+    search.
 
     Given per-source counts i32[N], produce for each output slot
     j in [0, capacity):
@@ -30,17 +31,23 @@ def expand_by_counts(counts: jnp.ndarray, capacity: int):
       rank[j]  — offset of j within its run (0-based)
       valid[j] — j < sum(counts)
 
-    Implemented as a vectorized binary search into the exclusive-scan
-    offsets (the TPU-idiomatic replacement for CUDA's scan+scatter emit).
-    Slots past the total get src = N-1 clamped and valid=False.
+    src is recovered by scattering a +1 marker at every run start and
+    prefix-summing — O(capacity) streaming work. (A vectorized binary
+    search costs log2(N) serial gather rounds on TPU: ~660 ms at the 4M
+    scale vs ~10 ms for scatter+cumsum.) Empty runs stack markers on one
+    slot and the cumsum jumps past them, which is exactly right. Slots
+    past the total get clamped src and valid=False.
     """
     counts = counts.astype(jnp.int32)
     offsets = exclusive_scan(counts)
     total = offsets[-1] + counts[-1] if counts.shape[0] > 0 else jnp.int32(0)
-    j = jnp.arange(capacity, dtype=jnp.int32)
-    # searchsorted(right) - 1: largest i with offsets[i] <= j.
-    src = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32) - 1
+    markers = jnp.zeros((capacity,), jnp.int32)
+    # Runs with count 0 contribute a marker too (their start coincides
+    # with the next run's); starts at/after capacity are dropped.
+    markers = markers.at[offsets].add(1, mode="drop")
+    src = jnp.cumsum(markers) - 1
     src = jnp.clip(src, 0, max(counts.shape[0] - 1, 0))
+    j = jnp.arange(capacity, dtype=jnp.int32)
     rank = j - offsets[src]
     valid = j < total
     return src, rank, valid, total
@@ -56,9 +63,25 @@ def segment_starts(sorted_keys: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     """Given ascending keys i32[R] (invalid entries = key >= num_segments
     sorted to the back), return starts i32[num_segments + 1]: segment k
     occupies sorted rows [starts[k], starts[k+1]).
+
+    Histogram + prefix sum (O(R + S) streaming) instead of binary search
+    (log serial gather rounds — see expand_by_counts).
     """
-    seg = jnp.arange(num_segments + 1, dtype=sorted_keys.dtype)
-    return jnp.searchsorted(sorted_keys, seg, side="left").astype(jnp.int32)
+    counts = jnp.zeros((num_segments + 1,), jnp.int32)
+    k = jnp.clip(sorted_keys.astype(jnp.int32), 0, num_segments)
+    counts = counts.at[k + 1].add(
+        (sorted_keys < num_segments).astype(jnp.int32), mode="drop")
+    return jnp.cumsum(counts).astype(jnp.int32)
+
+
+def rows_to_segments(starts: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """Inverse of segment_starts: owner segment id per row j in
+    [0, num_rows). starts i32[S+1]. Rows beyond starts[S] get S-1 clamped.
+    """
+    s = starts.shape[0] - 1
+    markers = jnp.zeros((num_rows,), jnp.int32)
+    markers = markers.at[starts[:s]].add(1, mode="drop")
+    return jnp.clip(jnp.cumsum(markers) - 1, 0, s - 1)
 
 
 def compact_indices(mask: jnp.ndarray):
