@@ -310,8 +310,8 @@ def _pow2_at_least(n: int) -> int:
     return p
 
 
-def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 4,
-          any_hit: bool = False, round_iters: int = 64,
+def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
+          any_hit: bool = False, round_iters: int = 16,
           min_batch: int = 8192) -> Hits:
     """Round-based compacted wavefront trace (host-orchestrated).
 
