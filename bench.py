@@ -46,7 +46,10 @@ def main():
     ap.add_argument("--scene", default=None,
                     help="scene name or .obj path (default sponza-like)")
     ap.add_argument("--size", default=None, help="WxH, default 1024x1024")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--workload", default="primary",
+                    choices=("primary", "ao", "path", "dynamic"),
+                    help="BASELINE.json config to run")
     args = ap.parse_args()
 
     from hagrid_tpu import scenes
@@ -80,29 +83,88 @@ def main():
     log(f"grid rebuild: {build_s * 1e3:.2f} ms "
         f"({session.describe()})")
 
-    # --- primary-ray benchmark ------------------------------------------
-    rays = primary_rays(cam, w, h)
-    rays = jax.block_until_ready(jax.device_put(rays))
-    trace_s = timed(session.trace, rays, warmup=2, iters=iters)
-    mrays = (w * h) / trace_s / 1e6
-    log(f"primary rays {w}x{h}: {trace_s * 1e3:.2f} ms = {mrays:.1f} Mrays/s")
+    extra = {
+        "rebuild_ms": round(build_s * 1e3, 2),
+        "tris": int(len(f)),
+        "device": str(dev),
+        "grid": session.describe(),
+    }
 
-    hits = session.trace(rays)
-    frac = float(np.mean(np.asarray(hits.tri_id) >= 0))
-    log(f"hit fraction: {frac:.3f}")
+    if args.workload == "primary":
+        rays = primary_rays(cam, w, h)
+        rays = jax.block_until_ready(jax.device_put(rays))
+        trace_s = timed(session.trace, rays, warmup=2, iters=iters)
+        mrays = (w * h) / trace_s / 1e6
+        log(f"primary rays {w}x{h}: {trace_s * 1e3:.2f} ms "
+            f"= {mrays:.1f} Mrays/s")
+        hits = session.trace(rays)
+        frac = float(np.mean(np.asarray(hits.tri_id) >= 0))
+        log(f"hit fraction: {frac:.3f}")
+        extra.update(rays=w * h, hit_fraction=round(frac, 4))
+        metric, value = f"primary_mrays_{scene_name}", mrays
+
+    elif args.workload == "ao":
+        from hagrid_tpu.render import integrators
+
+        n_samples = 4
+        rays = primary_rays(cam, w, h)
+        hits = session.trace(rays)
+        key = jax.random.PRNGKey(0)
+
+        def run():
+            return integrators.ambient_occlusion(
+                session, rays, hits, key, n_samples=n_samples)
+
+        ao_s = timed(run, warmup=1, iters=iters)
+        sec = w * h * n_samples
+        mrays = sec / ao_s / 1e6
+        log(f"AO ({n_samples} spp) {w}x{h}: {ao_s * 1e3:.1f} ms "
+            f"= {mrays:.1f} M secondary rays/s")
+        extra.update(secondary_rays=sec)
+        metric, value = f"ao_mrays_{scene_name}", mrays
+
+    elif args.workload == "path":
+        from hagrid_tpu.render import integrators
+
+        bounces = 4
+
+        def run():
+            return integrators.path_trace(session, cam, w, h, spp=1,
+                                          max_bounces=bounces)
+
+        pt_s = timed(run, warmup=1, iters=max(2, iters // 2))
+        total = w * h * (bounces + 1)  # upper bound; waves shrink
+        mrays = total / pt_s / 1e6
+        log(f"path {w}x{h} {bounces} bounces: {pt_s * 1e3:.1f} ms "
+            f"<= {mrays:.1f} Mrays/s")
+        extra.update(bounces=bounces)
+        metric, value = f"path_mrays_{scene_name}", mrays
+
+    else:  # dynamic
+        from hagrid_tpu.render.dynamic import AnimatedScene
+
+        scene_anim = AnimatedScene(v, f)
+        rays = primary_rays(cam, w, h)
+
+        def frame(t):
+            session.rebuild(scene_anim.frame(t))
+            return session.trace(rays).t
+
+        jax.block_until_ready(frame(0.0))  # compile
+        t0 = time.perf_counter()
+        n_frames = max(3, iters)
+        for i in range(n_frames):
+            jax.block_until_ready(frame(0.1 * (i + 1)))
+        fps = n_frames / (time.perf_counter() - t0)
+        log(f"dynamic {w}x{h}: {fps:.2f} fps (rebuild+trace per frame)")
+        metric, value = f"dynamic_fps_{scene_name}", fps
 
     print(json.dumps({
-        "metric": f"primary_mrays_{scene_name}",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 200.0, 4),
-        "extra": {
-            "rebuild_ms": round(build_s * 1e3, 2),
-            "tris": int(len(f)),
-            "rays": w * h,
-            "hit_fraction": round(frac, 4),
-            "device": str(dev),
-        },
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "fps" if args.workload == "dynamic" else "Mrays/s",
+        "vs_baseline": round(value / 200.0, 5),
+        "extra": extra,
     }))
 
 

@@ -282,10 +282,30 @@ def _merge_pass(grid: IrregularGrid, salt, axis: int,
     cost_b = _half_area(jmin, jmax, cs) * (C_TRAV + C_ISECT * n_refs[j])
     cost_u = _half_area(umin, umax, cs) * (
         C_TRAV + C_ISECT * (n_refs + n_refs[j]))
-    cand = cand & (cost_u <= alpha * (cost_a + cost_b))
+    sah_ok = cost_u <= alpha * (cost_a + cost_b)
+
+    # Empty cells merge ONLY with aligned equal-size empty "buddies"
+    # (octree-style doubling). Unrestricted SAH always accepts empty-empty
+    # unions, which greedily elongates air cells along the first merge
+    # axis; the resulting wide-thin slabs no longer share cross-sections,
+    # so later axes can't merge and rays step through one thin layer at a
+    # time. Buddy doubling keeps air isotropic and coalesces it
+    # exponentially across passes. Buddy pairs need no matching parity:
+    # the left buddy ((cmin & (2w-1)) == 0) is unique and a right buddy
+    # can never itself initiate, so accepts are conflict-free — hash
+    # parity would randomly reject 3/4 of them per pass and stall the
+    # doubling. SAH merges (non-empty pairs) keep the randomized parity.
+    empty_i = n_refs == 0
+    empty_j = n_refs[j] == 0
+    w_i = cmax[:, axis] - cmin[:, axis] + 1
+    w_j = jmax[:, axis] - jmin[:, axis] + 1
+    buddy = (w_i == w_j) & ((cmin[:, axis] & (2 * w_i - 1)) == 0)
 
     i_idx = jnp.arange(c_cap, dtype=jnp.int32)
-    accept = cand & ~_hash_bit(i_idx, salt) & _hash_bit(j, salt)
+    parity = ~_hash_bit(i_idx, salt) & _hash_bit(j, salt)
+    accept_sah = cand & ~empty_i & ~empty_j & sah_ok & parity
+    accept_buddy = cand & empty_i & empty_j & buddy
+    accept = accept_sah | accept_buddy
 
     # Absorb j into i: map[j] = i (j dies), bbox grows, refs concatenated.
     # j's matching left neighbor is unique (cells tile space), and the hash
@@ -445,6 +465,38 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
     return grid
 
 
+def compact_cells(grid: IrregularGrid, cell_capacity: int) -> IrregularGrid:
+    """Voxel-map compression (reference src/compress.cu counterpart):
+    renumber alive cells densely and shrink the per-cell tables to
+    ``cell_capacity`` rows, repointing entries. Merging kills ~half the
+    initial cells; compaction reclaims their rows. Relative cell order is
+    preserved, so ref_ids stay sorted by owner and cell_starts is just a
+    gather of the old boundaries.
+    """
+    from ..ops.segment import compact_indices
+
+    alive = grid.alive
+    c_cap = alive.shape[0]
+    order = jnp.cumsum(alive.astype(jnp.int32)) - 1  # dense id per cell
+    new_id = jnp.where(alive, order, -1)
+    perm, n_alive = compact_indices(alive)
+    take = perm[:cell_capacity]
+    row = jnp.arange(cell_capacity, dtype=jnp.int32)
+    live = row < n_alive
+    # end(new k) = start(new k+1): empty dead segments between alive cells
+    # make consecutive alive starts meet, so a plain gather is enough.
+    starts_new = jnp.where(live, grid.cell_starts[take], grid.total_refs)
+    starts_full = jnp.concatenate(
+        [starts_new, grid.total_refs.reshape(1)]).astype(jnp.int32)
+    return grid.replace(
+        entries=new_id[grid.entries],
+        cell_min=jnp.where(live[:, None], grid.cell_min[take], 0),
+        cell_max=jnp.where(live[:, None], grid.cell_max[take], -1),
+        cell_starts=starts_full,
+        alive=live,
+    )
+
+
 def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
     """Build the packed hot-path tables from the canonical arrays."""
     top_info = (grid.top_offset << 3) | grid.top_res_log
@@ -471,6 +523,7 @@ def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
 _merge_jit = jax.jit(_merge_pass, static_argnames=("axis", "alpha"))
 _expand_jit = jax.jit(_expand_pass, static_argnames=("axis",))
 _pack_jit = jax.jit(_pack_tables)
+_compact_jit = jax.jit(compact_cells, static_argnames=("cell_capacity",))
 
 
 def _optimize(grid: IrregularGrid, params: BuildParams) -> IrregularGrid:
@@ -498,11 +551,14 @@ def _optimize(grid: IrregularGrid, params: BuildParams) -> IrregularGrid:
                       f"{(time.perf_counter() - t0) * 1e3:.1f} ms",
                       flush=True)
     t0 = time.perf_counter()
+    if params.compact:
+        n_alive = int(jax.device_get(jnp.sum(grid.alive.astype(jnp.int32))))
+        grid = _compact_jit(grid, cell_capacity=_bucket(n_alive))
     grid = _pack_jit(grid)
     if debug:
         jax.block_until_ready(grid.erec)
-        print(f"[build] pack: {(time.perf_counter() - t0) * 1e3:.1f} ms",
-              flush=True)
+        print(f"[build] compact+pack: "
+              f"{(time.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
     return grid
 
 

@@ -17,10 +17,12 @@ class BuildParams:
     snd_density: float = 2.4
     alpha: float = 0.995
     expansion_passes: int = 3
-    merge_passes: int = 3
+    merge_passes: int = 4
     # Max second-level resolution per top cell (power of two), i.e. the
     # reference grid's `shift`: fine grid = top dims << levels.
     levels: int = 3
+    # Compact dead (merged-away) cell rows after optimization.
+    compact: bool = True
     # Capacity head-room multipliers for the static ref buffers.
     ref_slack: float = 1.5
 
