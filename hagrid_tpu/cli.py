@@ -46,6 +46,13 @@ def _common(ap: argparse.ArgumentParser):
 
 
 def _setup(args):
+    import os
+
+    if args.platform:
+        # Both env and config: the session's platform plugin (axon) can
+        # override either one alone depending on initialization order.
+        os.environ["JAX_PLATFORMS"] = args.platform
+
     from hagrid_tpu.utils import cache
 
     cache.enable()
@@ -75,10 +82,9 @@ def _setup(args):
 
 
 def cmd_render(args):
+    session, cam, tris = _setup(args)  # sets the platform — import first
     from hagrid_tpu.core.camera import primary_rays
     from hagrid_tpu.io.image import shade_eyelight, write_png, write_ppm
-
-    session, cam, tris = _setup(args)
     w, h = (int(x) for x in args.size.split("x"))
     rays = primary_rays(cam, w, h)
     t0 = time.perf_counter()
@@ -97,11 +103,10 @@ def cmd_render(args):
 
 
 def cmd_bench(args):
+    session, cam, tris = _setup(args)
     import jax
 
     from hagrid_tpu.core.camera import primary_rays
-
-    session, cam, tris = _setup(args)
     w, h = (int(x) for x in args.size.split("x"))
     rays = primary_rays(cam, w, h)
 

@@ -14,8 +14,10 @@ from __future__ import annotations
 import flax.struct
 import jax.numpy as jnp
 
-# Sentinel for "no hit" / invalid ids, matches the reference convention of -1.
-INVALID_ID = jnp.int32(-1)
+# Sentinel for "no hit" / invalid ids, matches the reference convention of
+# -1. Plain int: a jnp value here would initialize the backend at import
+# time, before callers can pick a platform.
+INVALID_ID = -1
 
 
 @flax.struct.dataclass

@@ -68,6 +68,10 @@ class IrregularGrid:
     num_entries: jnp.ndarray  # i32[]
     total_refs: jnp.ndarray   # i32[]
     tris: Triangles
+    # Cells whose bbox was analytically pre-expanded past their owned
+    # region (air cubes): excluded from merging, since merge adjacency
+    # reasons about owned regions via bboxes.
+    preexpanded: jnp.ndarray  # bool[C_cap]
     # Packed hot-path tables (built by _optimize; see ops/wavefront.py):
     # gathers are the traversal currency on TPU, so the lookup chain is
     # squeezed to two row-gathers and each ref test to one.
@@ -228,6 +232,71 @@ def _stage_cells(tris, bbox_lo, bbox_hi, top_cell_of_ref, top_refs,
 
 
 # --------------------------------------------------------------------------
+# Stage 4.5: analytic air coalescing ("air octree").
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("top_dims", "levels",
+                                             "air_levels", "c_cap"))
+def _stage_airboxes(top_starts, offsets, cell_min, cell_max,
+                    top_dims, levels, air_levels, c_cap):
+    """Pre-expand empty TOP cells' bboxes to their largest aligned all-air
+    cube of top cells.
+
+    Rays cross open space one top cell at a time unless empty cells
+    coalesce; pairwise merge passes do that in O(passes) doublings over
+    millions of rows. But air coalescing needs no SAH and no ref work —
+    it's a pure octree-reduction over the ~10^4 top cells: level-k cube is
+    air iff its 8 level-(k-1) children are. Costs ~nothing and replaces
+    most merge passes. Ownership (entries) is untouched — this is
+    EXPANSION semantics (bbox ⊇ owned region over empty-owned voxels), so
+    the traversal invariant holds; the touched cells are flagged and
+    excluded from later merging.
+    """
+    tdx, tdy, tdz = top_dims
+    n_c = jnp.diff(top_starts)
+    air = (n_c == 0)
+    # (z, y, x) occupancy volume, padded to multiples of 2^air_levels.
+    pd = 1 << air_levels
+    pdx = -(-tdx // pd) * pd
+    pdy = -(-tdy // pd) * pd
+    pdz = -(-tdz // pd) * pd
+    vol = jnp.zeros((pdz, pdy, pdx), bool)
+    vol = vol.at[:tdz, :tdy, :tdx].set(air.reshape(tdz, tdy, tdx))
+
+    best_k = jnp.zeros((pdz, pdy, pdx), jnp.int32)
+    cur = vol
+    for k in range(1, air_levels + 1):
+        s = cur.shape
+        cur = cur.reshape(s[0] // 2, 2, s[1] // 2, 2, s[2] // 2, 2)
+        cur = cur.all(axis=(1, 3, 5))  # level-k cube all air?
+        up = jnp.repeat(jnp.repeat(jnp.repeat(
+            cur, 2 ** k, 0), 2 ** k, 1), 2 ** k, 2)
+        best_k = jnp.where(up, k, best_k)
+
+    best_k = best_k[:tdz, :tdy, :tdx].reshape(-1)
+    c = jnp.arange(tdx * tdy * tdz, dtype=jnp.int32)
+    cx = c % tdx
+    rem = c // tdx
+    cy = rem % tdy
+    cz = rem // tdy
+    k = best_k
+    coord = jnp.stack([cx, cy, cz], -1)
+    base = (coord >> k[:, None]) << k[:, None]
+    cube_min = base << levels
+    cube_max = (((base + (1 << k[:, None])) << levels) - 1)
+    # Clamp to real top dims (padded cubes never mark air, but edge cubes
+    # can stick out when dims aren't multiples).
+    fine_max = (jnp.asarray(top_dims, jnp.int32) << levels) - 1
+    cube_max = jnp.minimum(cube_max, fine_max)
+
+    rows = jnp.where(air & (k > 0), offsets[c], c_cap)  # air cell's entry
+    cell_min = cell_min.at[rows].set(cube_min, mode="drop")
+    cell_max = cell_max.at[rows].set(cube_max, mode="drop")
+    preexp = jnp.zeros((c_cap,), bool).at[rows].set(True, mode="drop")
+    return cell_min, cell_max, preexp
+
+
+# --------------------------------------------------------------------------
 # Stage 5: SAH neighbor merging (randomized independent-set matching).
 # --------------------------------------------------------------------------
 
@@ -244,6 +313,45 @@ def _hash_bit(x, salt):
          + jnp.uint32(salt) * jnp.uint32(40503))
     h = h ^ (h >> 16)
     return (h & 1).astype(jnp.bool_)
+
+
+def _buddy_pass(grid: IrregularGrid, axis: int) -> IrregularGrid:
+    """Cheap empty-only merge pass: aligned equal-size empty buddies
+    coalesce (conflict-free, see _merge_pass) WITHOUT any ref-array work —
+    absorbed cells are empty, so cell_starts stays valid as-is. Costs a
+    probe lookup + scatters; no device-wide sort."""
+    c_cap = grid.cell_min.shape[0]
+    fine = jnp.asarray(grid.fine_dims, jnp.int32)
+    alive = grid.alive
+    cmin = grid.cell_min
+    cmax = grid.cell_max
+    starts = grid.cell_starts
+    n_refs = (starts[1:] - starts[:-1])[:c_cap]
+
+    probe = cmin.at[:, axis].set(cmax[:, axis] + 1)
+    in_b = probe[:, axis] < fine[axis]
+    probe = jnp.clip(probe, 0, fine - 1)
+    j, jmin, jmax = grid.lookup(probe)
+
+    oa = [a for a in range(3) if a != axis]
+    box_pair = ((jmin[:, axis] == cmax[:, axis] + 1)
+                & (jmin[:, oa[0]] == cmin[:, oa[0]])
+                & (jmax[:, oa[0]] == cmax[:, oa[0]])
+                & (jmin[:, oa[1]] == cmin[:, oa[1]])
+                & (jmax[:, oa[1]] == cmax[:, oa[1]]))
+    w_i = cmax[:, axis] - cmin[:, axis] + 1
+    w_j = jmax[:, axis] - jmin[:, axis] + 1
+    buddy = (w_i == w_j) & ((cmin[:, axis] & (2 * w_i - 1)) == 0)
+    accept = (alive & in_b & alive[j] & box_pair & buddy
+              & (n_refs == 0) & (n_refs[j] == 0)
+              & ~grid.preexpanded & ~grid.preexpanded[j])
+
+    i_idx = jnp.arange(c_cap, dtype=jnp.int32)
+    merge_map = i_idx.at[jnp.where(accept, j, c_cap)].set(i_idx, mode="drop")
+    new_alive = alive & (merge_map == i_idx)
+    new_cmax = jnp.where(accept[:, None], jnp.maximum(cmax, jmax), cmax)
+    return grid.replace(entries=merge_map[grid.entries],
+                        cell_max=new_cmax, alive=new_alive)
 
 
 def _merge_pass(grid: IrregularGrid, salt, axis: int,
@@ -273,7 +381,10 @@ def _merge_pass(grid: IrregularGrid, salt, axis: int,
                 & (jmax[:, oa[0]] == cmax[:, oa[0]])
                 & (jmin[:, oa[1]] == cmin[:, oa[1]])
                 & (jmax[:, oa[1]] == cmax[:, oa[1]]))
-    cand = alive & in_b & alive[j] & box_pair
+    # Pre-expanded (air-cube) cells: bbox != owned region, so bbox-based
+    # adjacency reasoning is invalid for them — never merge those.
+    cand = (alive & in_b & alive[j] & box_pair
+            & ~grid.preexpanded & ~grid.preexpanded[j])
 
     # SAH with |A|+|B| union upper bound.
     umin = jnp.minimum(cmin, jmin)
@@ -451,12 +562,19 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
               f"(refs {t2}/{r2_cap}, entries {int(jax.device_get(e_total))}"
               f"/{e_cap})", flush=True)
 
+    cmin, cmax, preexp = _stage_airboxes(
+        top_starts, offsets, cmin, cmax, top_dims, levels,
+        params.air_levels, e_cap)
+    if debug:
+        print("[build] airboxes done", flush=True)
+
     n_top = int(np.prod(top_dims))
     grid = IrregularGrid(
         top_dims=top_dims, levels=levels, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
         top_res_log=res_log, top_offset=offsets, entries=entries,
         cell_min=cmin, cell_max=cmax, cell_starts=cell_starts, ref_ids=refs,
         alive=alive, num_entries=e_total, total_refs=r2_total, tris=tris,
+        preexpanded=preexp,
         top_info=jnp.zeros((n_top,), jnp.int32),
         erec=jnp.zeros((e_cap, 8), jnp.int32),
         ref_tris=jnp.zeros((r2_cap, 12), jnp.float32))
@@ -494,6 +612,7 @@ def compact_cells(grid: IrregularGrid, cell_capacity: int) -> IrregularGrid:
         cell_max=jnp.where(live[:, None], grid.cell_max[take], -1),
         cell_starts=starts_full,
         alive=live,
+        preexpanded=live & grid.preexpanded[take],
     )
 
 
@@ -520,6 +639,7 @@ def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
 # Per-pass jits: one compile per axis (shapes identical across passes;
 # salt is traced), instead of one 18-pass megagraph that takes minutes to
 # compile. Merge/expand dispatch overhead is negligible next to the sorts.
+_buddy_jit = jax.jit(_buddy_pass, static_argnames=("axis",))
 _merge_jit = jax.jit(_merge_pass, static_argnames=("axis", "alpha"))
 _expand_jit = jax.jit(_expand_pass, static_argnames=("axis",))
 _pack_jit = jax.jit(_pack_tables)
@@ -531,34 +651,36 @@ def _optimize(grid: IrregularGrid, params: BuildParams) -> IrregularGrid:
     import time
 
     debug = bool(os.environ.get("HAGRID_BUILD_DEBUG"))
+
+    def step(name, fn, *a, block=None, **kw):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        if debug:
+            jax.block_until_ready(block(out) if block else out)
+            print(f"[build] {name}: "
+                  f"{(time.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
+        return out
+
+    # Cheap empty-buddy coalescing first (no ref work), then SAH merges.
+    for p in range(params.buddy_passes):
+        for axis in range(3):
+            grid = step(f"buddy p{p} ax{axis}", _buddy_jit, grid, axis=axis)
     for p in range(params.merge_passes):
         for axis in range(3):
-            t0 = time.perf_counter()
-            grid = _merge_jit(grid, jnp.int32(p * 3 + axis + 1), axis=axis,
-                              alpha=float(params.alpha))
-            if debug:
-                jax.block_until_ready(grid.cell_starts)
-                print(f"[build] merge p{p} ax{axis}: "
-                      f"{(time.perf_counter() - t0) * 1e3:.1f} ms",
-                      flush=True)
-    for p in range(params.expansion_passes):
-        for axis in range(3):
-            t0 = time.perf_counter()
-            grid = _expand_jit(grid, axis=axis)
-            if debug:
-                jax.block_until_ready(grid.cell_max)
-                print(f"[build] expand p{p} ax{axis}: "
-                      f"{(time.perf_counter() - t0) * 1e3:.1f} ms",
-                      flush=True)
-    t0 = time.perf_counter()
+            grid = step(f"merge p{p} ax{axis}", _merge_jit, grid,
+                        jnp.int32(p * 3 + axis + 1), axis=axis,
+                        alpha=float(params.alpha))
+    # Compact before expansion: merging kills ~half the cells, and every
+    # expansion pass scans all cell rows.
     if params.compact:
         n_alive = int(jax.device_get(jnp.sum(grid.alive.astype(jnp.int32))))
-        grid = _compact_jit(grid, cell_capacity=_bucket(n_alive))
-    grid = _pack_jit(grid)
-    if debug:
-        jax.block_until_ready(grid.erec)
-        print(f"[build] compact+pack: "
-              f"{(time.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
+        grid = step("compact", _compact_jit, grid,
+                    cell_capacity=_bucket(n_alive))
+    for p in range(params.expansion_passes):
+        for axis in range(3):
+            grid = step(f"expand p{p} ax{axis}", _expand_jit, grid,
+                        axis=axis)
+    grid = step("pack", _pack_jit, grid)
     return grid
 
 

@@ -27,7 +27,7 @@ def save_grid(path: str, grid) -> None:
         fields = ("bbox_lo", "bbox_hi", "top_res_log", "top_offset",
                   "entries", "cell_min", "cell_max", "cell_starts",
                   "ref_ids", "alive", "num_entries", "total_refs",
-                  "top_info", "erec", "ref_tris")
+                  "preexpanded", "top_info", "erec", "ref_tris")
     else:
         meta["kind"] = "uniform"
         meta["dims"] = grid.dims
