@@ -75,8 +75,15 @@ def main():
     log(f"scene {scene_name}: {len(f)} tris "
         f"({time.perf_counter() - t0:.2f}s to generate)")
 
+    from hagrid_tpu.utils.config import BuildParams
+
+    if scene_name == "san_miguel":
+        # Foliage-heavy scene: a finer grid explodes ref counts/HBM.
+        params = BuildParams(levels=2, snd_density=1.0, top_density=0.08)
+    else:
+        params = BuildParams()
     tris = Triangles.from_mesh(v, f)
-    session = RenderSession.create(tris)
+    session = RenderSession.create(tris, params)
 
     # --- build benchmark -------------------------------------------------
     build_s = timed(session.rebuild, tris, warmup=1, iters=max(2, iters))

@@ -619,13 +619,11 @@ def compact_cells(grid: IrregularGrid, cell_capacity: int) -> IrregularGrid:
 def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
     """Build the packed hot-path tables from the canonical arrays."""
     top_info = (grid.top_offset << 3) | grid.top_res_log
-    e = jnp.arange(grid.entries.shape[0], dtype=jnp.int32)
     cell = grid.entries
     starts = grid.cell_starts
     erec = jnp.concatenate([
         grid.cell_min[cell], grid.cell_max[cell],
         starts[cell][:, None], starts[cell + 1][:, None]], axis=1)
-    del e
     tid = jnp.maximum(grid.ref_ids, 0)
     tris = grid.tris
     idb = jax.lax.bitcast_convert_type(grid.ref_ids.astype(jnp.int32),

@@ -228,6 +228,13 @@ def sponza_camera():
                   up=(0.0, 1.0, 0.0), fov_deg=65.0)
 
 
+def san_miguel_camera():
+    """Courtyard-level view: ground + columns below the foliage canopy."""
+    from .core.camera import Camera
+    return Camera(eye=(4.0, 2.5, 9.5), center=(22.0, 4.5, 4.0),
+                  up=(0.0, 1.0, 0.0), fov_deg=60.0)
+
+
 def san_miguel_like(n_tris=1000000, seed=11):
     """Courtyard at San-Miguel scale: atrium + dense foliage quads."""
     rng = np.random.default_rng(seed)
@@ -271,5 +278,5 @@ def load_scene(name_or_path: str):
         return v, f, sponza_camera()
     if name_or_path == "san_miguel":
         v, f = san_miguel_like()
-        return v, f, sponza_camera()
+        return v, f, san_miguel_camera()
     raise ValueError(f"unknown scene {name_or_path!r}")

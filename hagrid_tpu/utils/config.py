@@ -17,9 +17,9 @@ class BuildParams:
     snd_density: float = 2.4
     alpha: float = 0.995
     expansion_passes: int = 3
-    merge_passes: int = 2
+    merge_passes: int = 1
     # Cheap empty-buddy coalescing passes (no ref-array work) before SAH.
-    buddy_passes: int = 5
+    buddy_passes: int = 3
     # Max air-octree coalescing depth over TOP cells (aligned 2^k cubes).
     air_levels: int = 5
     # Max second-level resolution per top cell (power of two), i.e. the
