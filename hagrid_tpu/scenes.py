@@ -57,8 +57,9 @@ def grid_quad(p0, du, dv, nu, nv, flip=False):
     return verts, faces.reshape(-1, 3)
 
 
-def box(lo, hi, n=1):
-    """Axis-aligned box with each face an n x n patch (12*n^2 tris)."""
+def box(lo, hi, n=1, open_top=False):
+    """Axis-aligned box with each face an n x n patch (12*n^2 tris).
+    open_top omits the +y face (courtyards with open sky)."""
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
     d = hi - lo
@@ -69,10 +70,12 @@ def box(lo, hi, n=1):
         grid_quad(lo, ey, ez, n, n, flip=True),              # -x
         grid_quad([hi[0], lo[1], lo[2]], ey, ez, n, n),      # +x
         grid_quad(lo, ex, ez, n, n),                         # -y
-        grid_quad([lo[0], hi[1], lo[2]], ex, ez, n, n, True),  # +y
         grid_quad(lo, ex, ey, n, n, flip=True),              # -z
         grid_quad([lo[0], lo[1], hi[2]], ex, ey, n, n),      # +z
     ]
+    if not open_top:
+        faces.append(
+            grid_quad([lo[0], hi[1], lo[2]], ex, ez, n, n, True))  # +y
     return merge(faces)
 
 
@@ -175,14 +178,14 @@ def random_soup(n, seed=0, extent=1.0, tri_size=0.1):
     return verts, faces.astype(np.int32)
 
 
-def sponza_like(n_tris=262144, seed=7):
+def sponza_like(n_tris=262144, seed=7, open_top=False):
     """Colonnaded two-story atrium at Crytek-Sponza scale (~n_tris)."""
     rng = np.random.default_rng(seed)
     # Hall: 30m x 12m x 15m high, like Sponza's atrium.
     L, W, H = 30.0, 12.0, 15.0
     # Budget: ~45% shell, ~30% columns+arches, ~15% banners, ~10% clutter.
     shell_n = max(4, int(np.sqrt(n_tris * 0.45 / 12)))
-    meshes = [box([0, 0, 0], [L, H, W], n=shell_n)]
+    meshes = [box([0, 0, 0], [L, H, W], n=shell_n, open_top=open_top)]
 
     # Column rows along +-z at two stories.
     ncols = 12
@@ -231,14 +234,16 @@ def sponza_camera():
 def san_miguel_camera():
     """Courtyard-level view: ground + columns below the foliage canopy."""
     from .core.camera import Camera
-    return Camera(eye=(4.0, 2.5, 9.5), center=(22.0, 4.5, 4.0),
-                  up=(0.0, 1.0, 0.0), fov_deg=60.0)
+    return Camera(eye=(2.0, 3.0, 6.0), center=(28.0, 5.0, 6.0),
+                  up=(0.0, 1.0, 0.0), fov_deg=62.0)
 
 
 def san_miguel_like(n_tris=1000000, seed=11):
     """Courtyard at San-Miguel scale: atrium + dense foliage quads."""
     rng = np.random.default_rng(seed)
-    base_v, base_f = sponza_like(int(n_tris * 0.4), seed=seed)
+    # Courtyard: open to the sky (path-traced light enters from above).
+    base_v, base_f = sponza_like(int(n_tris * 0.4), seed=seed,
+                                 open_top=True)
     meshes = [(base_v, base_f)]
     # Foliage canopy: many small random quads clustered in "trees".
     n_leaf = int(n_tris * 0.6 / 2)
