@@ -62,3 +62,13 @@ def test_pad_rays_dead():
     assert padded.count == 16 and n == 9
     # Padding rays have tmax 0 (dead).
     assert float(np.asarray(padded.tmax)[n:].max()) == 0.0
+
+
+def test_distributed_single_process_noop(eight_devices):
+    from hagrid_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)  # no-op path
+    assert distributed.process_count() == 1
+    assert distributed.is_coordinator()
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
