@@ -80,6 +80,8 @@ def main():
     if scene_name == "san_miguel":
         # Foliage-heavy scene: a finer grid explodes ref counts/HBM.
         params = BuildParams(levels=2, snd_density=1.0, top_density=0.08)
+    elif args.workload == "dynamic":
+        params = BuildParams.dynamic()  # rebuild-dominated workload
     else:
         params = BuildParams()
     tris = Triangles.from_mesh(v, f)
