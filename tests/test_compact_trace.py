@@ -68,3 +68,33 @@ def test_session_any_hit():
     want = oracle.any_hit(rays, tris)
     np.testing.assert_array_equal(np.asarray(got.tri_id) >= 0,
                                   np.asarray(want))
+
+
+def test_finite_tmax_respected():
+    """Rays with finite tmax must ignore hits beyond it (shadow rays)."""
+    import jax.numpy as jnp
+    from hagrid_tpu.core.types import Rays
+
+    v, f = scenes.random_soup(120, seed=9)
+    tris = Triangles.from_mesh(v, f)
+    s = RenderSession.create(tris, SMALL)
+    rays_inf = random_rays(256, np.asarray(s.grid.bbox_lo),
+                           np.asarray(s.grid.bbox_hi), seed=21)
+    base = s.trace(rays_inf)
+    t = np.asarray(base.t)
+    hit = np.asarray(base.tri_id) >= 0
+    # Cut tmax to 90% of each hit distance: every such ray must now miss.
+    tmax = np.where(hit, t * 0.9, 1e-3).astype(np.float32)
+    rays_cut = Rays(org=rays_inf.org, dir=rays_inf.dir,
+                    tmin=rays_inf.tmin, tmax=jnp.asarray(tmax))
+    cut = s.trace(rays_cut)
+    assert np.all(np.asarray(cut.tri_id)[hit] == -1)
+    any_cut = s.trace(rays_cut, any_hit=True)
+    assert np.all(np.asarray(any_cut.tri_id)[hit] == -1)
+    # And tmax just beyond the hit keeps it.
+    tmax2 = np.where(hit, t * 1.1, 1e-3).astype(np.float32)
+    rays_keep = Rays(org=rays_inf.org, dir=rays_inf.dir,
+                     tmin=rays_inf.tmin, tmax=jnp.asarray(tmax2))
+    keep = s.trace(rays_keep)
+    np.testing.assert_array_equal(np.asarray(keep.tri_id)[hit],
+                                  np.asarray(base.tri_id)[hit])
