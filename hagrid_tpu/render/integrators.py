@@ -28,8 +28,18 @@ def _spawn(p, n, d, t_near, t_far):
                 tmax=t_far)
 
 
-def trace_sorted(session, rays: Rays, any_hit: bool = False):
-    """Coherence-sort, trace, unsort — the incoherent-wave entry point."""
+def trace_sorted(session, rays: Rays, any_hit: bool = False,
+                 sort: bool = False):
+    """Incoherent-wave entry point, optionally coherence-sorting first.
+
+    Measured on TPU v5e (Sponza AO wave, 262k rays): sorting costs more
+    than it saves on the XLA-gather traversal path — gather latency does
+    not reward index locality — so the default is unsorted. The sort
+    becomes mandatory (and pays) once waves feed the binned Pallas
+    intersector (ops/pallas_intersect.py), which needs cell-contiguous
+    ray tiles."""
+    if not sort:
+        return session.trace(rays, any_hit=any_hit)
     grid = session.grid
     sorted_rays, perm = sortrays.sort_rays(rays, grid.bbox_lo, grid.bbox_hi)
     hits = session.trace(sorted_rays, any_hit=any_hit)
