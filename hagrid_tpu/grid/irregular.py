@@ -513,6 +513,25 @@ def _bucket(n: int, lo: int = 1024) -> int:
 def build_irregular(tris: Triangles, params: BuildParams | None = None,
                     top_dims: tuple | None = None) -> IrregularGrid:
     params = params or BuildParams()
+    if tris.count == 0:
+        # Degenerate but legal: one empty unit-box cell, every ray misses.
+        return IrregularGrid(
+            top_dims=(1, 1, 1), levels=0,
+            bbox_lo=jnp.zeros(3, jnp.float32),
+            bbox_hi=jnp.ones(3, jnp.float32),
+            top_res_log=jnp.zeros(1, jnp.int32),
+            top_offset=jnp.zeros(1, jnp.int32),
+            entries=jnp.zeros(1, jnp.int32),
+            cell_min=jnp.zeros((1, 3), jnp.int32),
+            cell_max=jnp.zeros((1, 3), jnp.int32),
+            cell_starts=jnp.zeros(2, jnp.int32),
+            ref_ids=jnp.full(1, -1, jnp.int32),
+            alive=jnp.ones(1, bool),
+            num_entries=jnp.int32(1), total_refs=jnp.int32(0), tris=tris,
+            preexpanded=jnp.zeros(1, bool),
+            top_info=jnp.zeros(1, jnp.int32),
+            erec=jnp.asarray([[0, 0, 0, 0, 0, 0, 0, 0]], jnp.int32),
+            ref_tris=jnp.zeros((1, 12), jnp.float32))
     tlo, thi = jax.device_get(tris.bounds())
     lo = tlo.min(0)
     hi = thi.max(0)
@@ -626,11 +645,15 @@ def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
         starts[cell][:, None], starts[cell + 1][:, None]], axis=1)
     tid = jnp.maximum(grid.ref_ids, 0)
     tris = grid.tris
-    idb = jax.lax.bitcast_convert_type(grid.ref_ids.astype(jnp.int32),
-                                       jnp.float32)
-    pad = jnp.zeros((tid.shape[0], 2), jnp.float32)
-    ref_tris = jnp.concatenate([
-        tris.v0[tid], tris.e1[tid], tris.e2[tid], idb[:, None], pad], axis=1)
+    if tris.count == 0:  # degenerate empty scene: no rows to gather
+        ref_tris = jnp.zeros((tid.shape[0], 12), jnp.float32)
+    else:
+        idb = jax.lax.bitcast_convert_type(grid.ref_ids.astype(jnp.int32),
+                                           jnp.float32)
+        pad = jnp.zeros((tid.shape[0], 2), jnp.float32)
+        ref_tris = jnp.concatenate([
+            tris.v0[tid], tris.e1[tid], tris.e2[tid], idb[:, None], pad],
+            axis=1)
     return grid.replace(top_info=top_info, erec=erec, ref_tris=ref_tris)
 
 

@@ -104,6 +104,14 @@ def build_uniform(tris: Triangles, density: float = 2.4,
                   ref_capacity: int | None = None,
                   dims: tuple | None = None) -> UniformGrid:
     """Host wrapper: derives static dims/capacity, retries on overflow."""
+    if tris.count == 0:
+        # Degenerate but legal: one empty unit-box cell, every ray misses.
+        return UniformGrid(dims=(1, 1, 1),
+                           bbox_lo=jnp.zeros(3, jnp.float32),
+                           bbox_hi=jnp.ones(3, jnp.float32),
+                           cell_starts=jnp.zeros(2, jnp.int32),
+                           ref_ids=jnp.full(1, -1, jnp.int32),
+                           total_refs=jnp.int32(0), tris=tris)
     tlo, thi = jax.device_get(tris.bounds())
     lo = tlo.min(0)
     hi = thi.max(0)

@@ -39,8 +39,12 @@ def expand_by_counts(counts: jnp.ndarray, capacity: int):
     past the total get clamped src and valid=False.
     """
     counts = counts.astype(jnp.int32)
+    if counts.shape[0] == 0:  # degenerate empty source (empty scenes)
+        j = jnp.arange(capacity, dtype=jnp.int32)
+        return (jnp.zeros((capacity,), jnp.int32), j,
+                jnp.zeros((capacity,), bool), jnp.int32(0))
     offsets = exclusive_scan(counts)
-    total = offsets[-1] + counts[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    total = offsets[-1] + counts[-1]
     markers = jnp.zeros((capacity,), jnp.int32)
     # Runs with count 0 contribute a marker too (their start coincides
     # with the next run's); starts at/after capacity are dropped.

@@ -109,7 +109,8 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
         best_u = st["best_u"]
         best_v = st["best_v"]
         packed = getattr(grid, "is_packed", False)
-        for k in range(refs_per_iter):
+        no_tris = tris.count == 0  # static: empty scene has nothing to test
+        for k in range(0 if no_tris else refs_per_iter):
             r = cursor + k
             m = alive & (r < end)
             rm = jnp.where(m, r, 0)

@@ -98,3 +98,19 @@ def test_finite_tmax_respected():
     keep = s.trace(rays_keep)
     np.testing.assert_array_equal(np.asarray(keep.tri_id)[hit],
                                   np.asarray(base.tri_id)[hit])
+
+
+def test_empty_scene():
+    """A scene with zero triangles builds a valid grid; all rays miss."""
+    import jax.numpy as jnp
+    from hagrid_tpu.core.types import Rays
+    from hagrid_tpu.grid.uniform import build_uniform, trace_uniform_fast
+
+    tris = Triangles.from_mesh(np.zeros((0, 3), np.float32),
+                               np.zeros((0, 3), np.int32))
+    s = RenderSession.create(tris)
+    r = Rays.make(np.array([[0, 0, -5.0]], np.float32),
+                  np.array([[0, 0, 1.0]], np.float32))
+    assert int(np.asarray(s.trace(r).tri_id)[0]) == -1
+    g = build_uniform(tris)
+    assert int(np.asarray(trace_uniform_fast(g, r).tri_id)[0]) == -1
