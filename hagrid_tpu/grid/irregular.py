@@ -502,11 +502,12 @@ def _expand_pass(grid: IrregularGrid, axis: int) -> IrregularGrid:
 # --------------------------------------------------------------------------
 
 def _bucket(n: int, lo: int = 1024) -> int:
-    """Round capacity up to a coarse bucket (25% steps) so per-frame
-    rebuilds reuse compilations without pow2's up-to-2x memory slop."""
+    """Round capacity up to a coarse bucket (25% steps, multiples of 256)
+    so per-frame rebuilds reuse compilations without pow2's up-to-2x
+    memory slop. Multiple-of-256 keeps quad-row reshapes exact."""
     b = lo
     while b < n:
-        b += max(b // 4, lo)
+        b += max(b // 4 // 256 * 256, lo)
     return b
 
 

@@ -110,32 +110,45 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
         best_v = st["best_v"]
         packed = getattr(grid, "is_packed", False)
         no_tris = tris.count == 0  # static: empty scene has nothing to test
-        for k in range(0 if no_tris else refs_per_iter):
-            r = cursor + k
-            m = alive & (r < end)
-            rm = jnp.where(m, r, 0)
-            if packed:
-                # One 12-wide row-gather: [v0, e1, e2, tri_id_bits, pad...]
-                row = grid.ref_tris[rm]
-                v0 = row[:, 0:3]
-                e1 = row[:, 3:6]
-                e2 = row[:, 6:9]
-                tid = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
-            else:
-                tid = ref_ids[rm]
-                v0 = tris.v0[jnp.where(m, tid, 0)]
-                e1 = tris.e1[jnp.where(m, tid, 0)]
-                e2 = tris.e2[jnp.where(m, tid, 0)]
+
+        def mt_update(m, tid, v0, e1, e2, best):
+            bt, bid, bu, bv = best
             tid = jnp.where(m, tid, 0)
             h, t, u, v = moller_trumbore(org, dirs, v0, e1, e2,
                                          rays.tmin, rays.tmax)
-            better = m & h & ((t < best_t)
-                              | ((t == best_t) & (tid < best_id)))
-            best_t = jnp.where(better, t, best_t)
-            best_id = jnp.where(better, tid, best_id)
-            best_u = jnp.where(better, u, best_u)
-            best_v = jnp.where(better, v, best_v)
-        cursor = jnp.minimum(cursor + refs_per_iter, end)
+            better = m & h & ((t < bt) | ((t == bt) & (tid < bid)))
+            return (jnp.where(better, t, bt), jnp.where(better, tid, bid),
+                    jnp.where(better, u, bu), jnp.where(better, v, bv))
+
+        best = (best_t, best_id, best_u, best_v)
+        if no_tris:
+            pass
+        elif packed:
+            # Quad rows: ONE 48-wide row-gather serves 4 triangle tests
+            # (gather cost is dominated by per-row latency, not bytes).
+            quads = grid.ref_tris.reshape(-1, 48)  # free view; R_cap % 4 == 0
+            qidx = jnp.minimum(cursor >> 2, quads.shape[0] - 1)
+            qrow = quads[jnp.where(alive, qidx, 0)]
+            base = qidx << 2
+            for k in range(4):
+                ridx = base + k
+                m = alive & (ridx >= cursor) & (ridx < end)
+                row = qrow[:, k * 12:k * 12 + 12]
+                tid = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+                best = mt_update(m, tid, row[:, 0:3], row[:, 3:6],
+                                 row[:, 6:9], best)
+            cursor = jnp.where(alive, jnp.minimum(base + 4, end), cursor)
+        else:
+            for k in range(refs_per_iter):
+                r = cursor + k
+                m = alive & (r < end)
+                rm = jnp.where(m, r, 0)
+                tid = ref_ids[rm]
+                safe = jnp.where(m, tid, 0)
+                best = mt_update(m, tid, tris.v0[safe], tris.e1[safe],
+                                 tris.e2[safe], best)
+            cursor = jnp.minimum(cursor + refs_per_iter, end)
+        best_t, best_id, best_u, best_v = best
 
         # --- Phase 2: rays whose cell is exhausted step past the cell. --
         finished_cell = alive & (cursor >= end)
