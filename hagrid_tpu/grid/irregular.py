@@ -213,10 +213,12 @@ def _stage_cells(tris, bbox_lo, bbox_hi, top_cell_of_ref, top_refs,
     r_o = res_log[owner]
     side_o = jnp.int32(1) << r_o
     w = jnp.int32(1) << (levels - r_o)
-    lx = local % side_o
-    rem3 = local // side_o
-    ly = rem3 % side_o
-    lz = rem3 // side_o
+    # side_o is a power of two: masks/shifts instead of div/mod (integer
+    # division by a runtime value is a long VPU sequence).
+    lx = local & (side_o - 1)
+    rem3 = local >> r_o
+    ly = rem3 & (side_o - 1)
+    lz = rem3 >> r_o
     ox = owner % tdx
     rem4 = owner // tdx
     oy = rem4 % tdy
