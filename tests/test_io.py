@@ -65,3 +65,26 @@ def test_cli_render_and_stats(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert os.path.exists(out)
     assert "hit fraction" in r.stdout
+
+
+def test_load_scene_obj_path(tmp_path):
+    v, f = scenes.cornell_box()
+    p = str(tmp_path / "scene.obj")
+    save_obj(p, v, f)
+    v2, f2, cam = scenes.load_scene(p)
+    assert len(f2) == len(f)
+    assert cam.fov_deg > 0
+
+
+def test_stage_timer():
+    from hagrid_tpu.utils.profiling import StageTimer, timed
+
+    st = StageTimer()
+    with st.stage("a"):
+        sum(range(1000))
+    with st.stage("b"):
+        pass
+    rep = st.report()
+    assert "a" in rep and "b" in rep and "%" in rep
+    dt = timed(lambda: sum(range(100)), warmup=1, iters=2)
+    assert dt >= 0
