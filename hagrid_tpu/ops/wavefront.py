@@ -121,9 +121,10 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
                     jnp.where(better, u, bu), jnp.where(better, v, bv))
 
         best = (best_t, best_id, best_u, best_v)
+        quad_ok = packed and grid.ref_tris.shape[0] % 4 == 0
         if no_tris:
             pass
-        elif packed:
+        elif quad_ok:
             # Quad rows: ONE 48-wide row-gather serves 4 triangle tests
             # (gather cost is dominated by per-row latency, not bytes).
             quads = grid.ref_tris.reshape(-1, 48)  # free view; R_cap % 4 == 0
@@ -143,10 +144,16 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
                 r = cursor + k
                 m = alive & (r < end)
                 rm = jnp.where(m, r, 0)
-                tid = ref_ids[rm]
-                safe = jnp.where(m, tid, 0)
-                best = mt_update(m, tid, tris.v0[safe], tris.e1[safe],
-                                 tris.e2[safe], best)
+                if packed:  # per-row packed path (odd-capacity tables)
+                    row = grid.ref_tris[rm]
+                    tid = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+                    best = mt_update(m, tid, row[:, 0:3], row[:, 3:6],
+                                     row[:, 6:9], best)
+                else:
+                    tid = ref_ids[rm]
+                    safe = jnp.where(m, tid, 0)
+                    best = mt_update(m, tid, tris.v0[safe], tris.e1[safe],
+                                     tris.e2[safe], best)
             cursor = jnp.minimum(cursor + refs_per_iter, end)
         best_t, best_id, best_u, best_v = best
 
@@ -364,9 +371,13 @@ def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
             break
         new_size = min(max(_pow2_at_least(live), min_batch), size)
         if new_size < size:
+            # Population still shrinking: keep rounds short so the batch
+            # tracks the live count; grow the cap only once compaction
+            # stalls (long rounds then amortize fixed costs).
             state = _jit_compact(state, new_size)
             size = new_size
-        cap *= 2
+        else:
+            cap *= 2
     found = out["best_id"] >= 0
     return Hits(tri_id=out["best_id"],
                 t=jnp.where(found, out["best_t"], jnp.inf),
