@@ -36,9 +36,12 @@ def _common(ap: argparse.ArgumentParser):
     ap.add_argument("--alpha", type=float, default=0.995,
                     help="SAH merge acceptance factor")
     ap.add_argument("--expansion-passes", type=int, default=3)
-    ap.add_argument("--merge-passes", type=int, default=3)
-    ap.add_argument("--levels", type=int, default=3,
-                    help="max per-cell subdivision log2")
+    # Default matches BuildParams (the benched configuration): one SAH pass
+    # after the cheap buddy/air coalescing passes.
+    ap.add_argument("--merge-passes", type=int, default=1)
+    ap.add_argument("--levels", type=int, default=3, choices=range(0, 8),
+                    help="max per-cell subdivision log2 (0..7: the packed "
+                         "top_info word keeps 3 bits for it)")
     ap.add_argument("--structure", choices=("irregular", "uniform"),
                     default="irregular")
     ap.add_argument("--platform", default=None,

@@ -51,8 +51,13 @@ def slab_test(org, inv_dir, lo, hi, tmin, tmax):
     """
     t0 = (lo - org) * inv_dir
     t1 = (hi - org) * inv_dir
-    tnear = jnp.minimum(t0, t1)
-    tfar = jnp.maximum(t0, t1)
+    # 0 * inf = NaN when an origin component sits exactly on a slab plane
+    # with a zero direction component; the ray then lies ON the plane, so
+    # treating that axis as always-overlapping (-inf/+inf) is the
+    # conservative-correct resolution. NaN would otherwise propagate
+    # through min/max and falsely miss the whole box.
+    tnear = jnp.where(jnp.isnan(t0 * t1), -jnp.inf, jnp.minimum(t0, t1))
+    tfar = jnp.where(jnp.isnan(t0 * t1), jnp.inf, jnp.maximum(t0, t1))
     enter = jnp.maximum(jnp.max(tnear, axis=-1), tmin)
     exit_ = jnp.minimum(jnp.min(tfar, axis=-1), tmax)
     return enter, exit_, enter <= exit_

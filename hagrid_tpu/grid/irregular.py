@@ -516,6 +516,12 @@ def _bucket(n: int, lo: int = 1024) -> int:
 def build_irregular(tris: Triangles, params: BuildParams | None = None,
                     top_dims: tuple | None = None) -> IrregularGrid:
     params = params or BuildParams()
+    # The packed lookup encodes top_info = offset << 3 | res_log: res_log
+    # (clamped to `levels`) must fit in 3 bits or the table silently
+    # corrupts. Validate here so every entry point (CLI included) is safe.
+    if not 0 <= params.levels <= 7:
+        raise ValueError(f"BuildParams.levels must be in [0, 7], "
+                         f"got {params.levels}")
     if tris.count == 0:
         # Degenerate but legal: one empty unit-box cell, every ray misses.
         return IrregularGrid(

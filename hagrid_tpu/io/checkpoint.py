@@ -8,6 +8,8 @@ cross-process benchmarks).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 
 from ..core.types import Triangles
@@ -38,14 +40,17 @@ def save_grid(path: str, grid) -> None:
     for name in ("v0", "e1", "e2", "n"):
         arrays["tri_" + name] = np.asarray(jax.device_get(
             getattr(grid.tris, name)))
-    np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
+    # Meta is JSON, never repr/eval: loading a checkpoint must not be able
+    # to execute code from the file.
+    np.savez_compressed(path, __meta__=np.asarray([json.dumps(meta)]),
+                        **arrays)
 
 
 def load_grid(path: str):
     import jax.numpy as jnp
 
     z = np.load(path, allow_pickle=False)
-    meta = eval(str(z["__meta__"][0]))  # repr of a dict of plain ints/tuples
+    meta = json.loads(str(z["__meta__"][0]))
     tris = Triangles(v0=jnp.asarray(z["tri_v0"]),
                      e1=jnp.asarray(z["tri_e1"]),
                      e2=jnp.asarray(z["tri_e2"]),

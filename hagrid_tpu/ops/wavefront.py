@@ -217,9 +217,21 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
     return body
 
 
-def max_march_iters(fine_dims) -> int:
-    """Upper bound on one ray's march length (safety cap)."""
-    return 8 * int(sum(fine_dims)) + 256
+def max_march_iters(fine_dims, max_refs_per_cell: int = 0,
+                    refs_per_iter: int = 4) -> int:
+    """Upper bound on one ray's march length (safety cap).
+
+    Each loop iteration either steps one cell or tests one ref chunk, so a
+    single huge cell (teapot-in-stadium) consumes refs/refs_per_iter
+    iterations on its own; the cap scales with the largest cell so such
+    scenes cannot exhaust it mid-cell and silently truncate."""
+    return (8 * int(sum(fine_dims)) + 256
+            + 8 * (int(max_refs_per_cell) // max(refs_per_iter, 1)))
+
+
+#: Observability for the last `trace` call (see SURVEY.md §5 metrics):
+#: rays still alive when the safety cap expired (0 in healthy runs).
+last_trace_stats = {"truncated_rays": 0, "rounds": 0}
 
 
 def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
@@ -353,9 +365,12 @@ def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
     import time
     debug = bool(os.environ.get("HAGRID_TRACE_DEBUG"))
     cap = round_iters
-    hard_cap = max_march_iters(grid.fine_dims)
+    max_cell_refs = int(jnp.max(grid.cell_starts[1:] - grid.cell_starts[:-1]))
+    hard_cap = max_march_iters(grid.fine_dims, max_cell_refs, refs_per_iter)
     size = n
+    rounds = 0
     while True:
+        rounds += 1
         t0 = time.perf_counter() if debug else 0.0
         state, live, iters = _jit_segment(grid, state, lookup_fn,
                                           refs_per_iter, any_hit,
@@ -368,6 +383,12 @@ def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
                   f"iters={int(iters)} live={live} "
                   f"dt={time.perf_counter() - t0:.3f}s", flush=True)
         if live == 0 or cap >= hard_cap:
+            if live:
+                import warnings
+                warnings.warn(
+                    f"wavefront.trace: safety cap {hard_cap} expired with "
+                    f"{live} rays still marching — their hit records are "
+                    f"partial (see ops/wavefront.last_trace_stats)")
             break
         new_size = min(max(_pow2_at_least(live), min_batch), size)
         if new_size < size:
@@ -378,6 +399,8 @@ def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
             size = new_size
         else:
             cap *= 2
+    last_trace_stats["truncated_rays"] = live
+    last_trace_stats["rounds"] = rounds
     found = out["best_id"] >= 0
     return Hits(tri_id=out["best_id"],
                 t=jnp.where(found, out["best_t"], jnp.inf),
