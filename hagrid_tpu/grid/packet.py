@@ -50,6 +50,12 @@ from ..ops.segment import expand_by_counts, segment_starts, sort_pairs
 from ..utils.config import density_dims
 from .uniform import tri_voxel_ranges
 
+# Minimum starts3 extents: the tracer DMAs fixed-size (PAD_A, PAD_B,
+# PAD_C1) windows, so tables are edge-padded up to these. Padded rows
+# replicate edge values (runs there are empty or never read: the kernel
+# clamps its rect to the logical dims).
+PAD_A, PAD_B, PAD_C1 = 8, 8, 25
+
 # X-matrix column layout (one row per ray, 16 columns):
 #   [0]=1, [1:4]=org, [4:7]=dir, [7:10]=m = org x dir, [10:12]=0,
 #   [12]=tmin, [13]=tmax.
@@ -151,6 +157,9 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims, ref_capacity):
         # Row (k, j) closes at the next row's start (global monotonicity).
         end_col = starts[dc::dc].reshape(da, db, 1)
         starts3 = jnp.concatenate([s3, end_col], axis=2)
+        starts3 = jnp.pad(
+            starts3, ((0, max(PAD_A - da, 0)), (0, max(PAD_B - db, 0)),
+                      (0, max(PAD_C1 - (dc + 1), 0))), mode="edge")
         live = jnp.arange(ref_capacity) < total
         # Dead tail rows: all-zero columns give det = 0 -> never a hit.
         refq = jnp.where(live[:, None, None], bq[srefs], 0.0)
@@ -167,9 +176,9 @@ def build_packet(tris: Triangles, density: float = 1.2,
     """Host wrapper: static dims/capacity from the density heuristic,
     retry on overflow (same capacity policy as the other builders)."""
     if tris.count == 0:
-        z3 = jnp.zeros((1, 1, 2), jnp.int32)
-        zq = jnp.zeros((4, 8, 8), jnp.float32)
-        zi = jnp.zeros((8,), jnp.float32)
+        z3 = jnp.zeros((PAD_A, PAD_B, PAD_C1), jnp.int32)
+        zq = jnp.zeros((4, 8, 256), jnp.float32)
+        zi = jnp.zeros((256,), jnp.float32)
         return PacketGrid(dims=(1, 1, 1), bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           starts_x=z3, starts_y=z3, starts_z=z3,

@@ -55,13 +55,24 @@ def test_three_layouts_agree_with_uniform(cornell):
 
 def test_starts_monotone_and_total(cornell):
     g = packet.build_packet(cornell, dims=(5, 3, 4))
+    dims = (5, 3, 4)
     for axis in range(3):
+        a, b, c = packet._axis_order(axis)
+        da, db, dc = dims[a], dims[b], dims[c]
         starts3, _, _ = g.axis_tables(axis)
-        flat_rows = np.asarray(starts3).reshape(-1, starts3.shape[-1])
+        # Padded up to the tracer's window minimums.
+        assert starts3.shape == (max(da, packet.PAD_A),
+                                 max(db, packet.PAD_B),
+                                 max(dc + 1, packet.PAD_C1))
+        real = np.asarray(starts3)[:da, :db, :dc + 1]
+        flat_rows = real.reshape(-1, dc + 1)
         # Within each row: monotone; across rows: row end == next row start.
         assert (np.diff(flat_rows, axis=1) >= 0).all()
         assert (flat_rows[1:, 0] == flat_rows[:-1, -1]).all()
         assert flat_rows[-1, -1] == int(g.total_refs)
+        # Edge padding never invents refs: padded col runs are empty.
+        pad = np.asarray(starts3)
+        assert (np.diff(pad, axis=2)[:, :, dc:] == 0).all()
 
 
 def test_mt_matmul_matches_classic(cornell):
