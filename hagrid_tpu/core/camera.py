@@ -33,22 +33,47 @@ class Camera:
         return eye, fwd, right, up
 
 
-def primary_rays(cam: Camera, width: int, height: int,
-                 jitter=None) -> Rays:
-    """Generate width*height primary rays in scanline (y-major) order.
+def block_index(width: int, height: int, block: int = 32) -> np.ndarray:
+    """Pixel index (y * width + x) of ray i in block order — the host-side
+    inverse map for reassembling images from block-ordered hit arrays."""
+    bpr = width // block
+    i = np.arange(width * height)
+    bi, within = i // (block * block), i % (block * block)
+    gx = (bi % bpr) * block + within % block
+    gy = (bi // bpr) * block + within // block
+    return gy * width + gx
 
-    jitter: optional f32[H*W, 2] subpixel offsets in [0,1) for antialiasing /
-    path tracing; defaults to pixel centers.
+
+def primary_rays(cam: Camera, width: int, height: int,
+                 jitter=None, order: str = "scanline") -> Rays:
+    """Generate width*height primary rays.
+
+    order: "scanline" (y-major; image writers expect this) or "block"
+    (32x32 image tiles, contiguous per tile) — block order gives the
+    packet tracer narrow frusta; reassemble images with `block_index`.
+    Falls back to scanline when the size isn't a multiple of 32.
+    jitter: optional f32[H*W, 2] subpixel offsets in [0,1) for
+    antialiasing / path tracing; defaults to pixel centers.
     """
     eye, fwd, right, up = cam.basis()
     tan_half = np.tan(np.radians(cam.fov_deg) * 0.5)
     aspect = width / height
 
-    px = jnp.arange(width, dtype=jnp.float32)
-    py = jnp.arange(height, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(px, py)  # [H, W]
-    gx = gx.reshape(-1)
-    gy = gy.reshape(-1)
+    if order == "block" and width % 32 == 0 and height % 32 == 0:
+        # Pure index arithmetic — no gather, so ray gen stays fusable.
+        b = 32
+        bpr = width // b
+        i = jnp.arange(width * height, dtype=jnp.int32)
+        bi = i // (b * b)
+        within = i % (b * b)
+        gx = ((bi % bpr) * b + within % b).astype(jnp.float32)
+        gy = ((bi // bpr) * b + within // b).astype(jnp.float32)
+    else:
+        px = jnp.arange(width, dtype=jnp.float32)
+        py = jnp.arange(height, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(px, py)  # [H, W]
+        gx = gx.reshape(-1)
+        gy = gy.reshape(-1)
     if jitter is None:
         ox = oy = 0.5
     else:

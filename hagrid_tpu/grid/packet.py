@@ -20,20 +20,22 @@ This module builds the data structure the kernel consumes:
   contiguous run — one DMA each.
 - `starts3_<a>` i32[Da, Db, Dc+1]: per-cell ref-run boundaries, with the
   extra column closing the last run of each row.
-- `refq_<a>` f32[4, 8, R]: per-ref Moller-Trumbore *matmul columns*. The
-  kernel computes, for a whole ray tile at once,
-      Y_q = X_window @ refq[q]           (MXU, K = 8)
-  where X is a per-ray 16-vector [1, o, d, m=o x d, tmin, tmax, pad] and
-  the four quantities (t_num, det, u_num, v_num) come out as dense
-  (rays, refs) panels. Derivation (scalar triple products; validated to
-  1e-13 against the classic form):
+- `refq_<a>` f32[12, 4*R]: per-ref Moller-Trumbore *matmul columns*,
+  blocked per 128 refs as [t | det | u | v] column groups so ONE MXU
+  contraction per 128-ref panel,
+      Y = X[:, 0:12] @ refq[:, 4*r : 4*r + 512]      (K = 12)
+  yields all four quantities (t_num, det, u_num, v_num) as contiguous
+  128-wide slices of Y. X is the per-ray 16-vector
+  [1, o, d, m=o x d, 0, 0, tmin, tmax, pad]; K=12 costs the same MXU
+  passes as K=8 (one systolic pass covers K<=128). Derivation (scalar
+  triple products; validated to 1e-13 against the classic form):
       det   = -d.n              n  = e1 x e2
       t_num =  o.n - c0         c0 = v0.n
       u_num =  m.e2 - d.q1      q1 = e2 x v0
       v_num = -m.e1 - d.q2      q2 = v0 x e1
   and (t, u, v) = (t_num, u_num, v_num) / det — identical to the
   reference's Moller-Trumbore up to f32 reassociation.
-- `refid_<a>` f32[R]: triangle id bits (bitcast i32) per ref.
+- `refid_<a>` f32[1, R]: triangle id bits (bitcast i32) per ref.
 """
 
 from __future__ import annotations
@@ -50,21 +52,30 @@ from ..ops.segment import expand_by_counts, segment_starts, sort_pairs
 from ..utils.config import density_dims
 from .uniform import tri_voxel_ranges
 
-# Minimum starts3 extents: the tracer DMAs fixed-size (PAD_A, PAD_B,
-# PAD_C1) windows, so tables are edge-padded up to these. Padded rows
-# replicate edge values (runs there are empty or never read: the kernel
-# clamps its rect to the logical dims).
-PAD_A, PAD_B, PAD_C1 = 8, 8, 25
+# starts3 padding: the tracer DMAs fixed (8, 16, 256) windows whose
+# offsets must be Mosaic-aligned (sublane multiple of 8, lane multiple of
+# 128), so each table is edge-padded so that any aligned window anchored
+# at a logical coordinate stays in bounds. Padded entries replicate edge
+# values (their runs are empty or never read: the kernel clamps its rect
+# to the logical dims).
+PAD_A = 8
+
+
+def pad_b(db: int) -> int:
+    return max(-(-db // 8) * 8 + 8, 16)
+
+
+def pad_c1(dc1: int) -> int:
+    return max(-(-dc1 // 128) * 128 + 128, 256)
 
 # X-matrix column layout (one row per ray, 16 columns):
 #   [0]=1, [1:4]=org, [4:7]=dir, [7:10]=m = org x dir, [10:12]=0,
-#   [12]=tmin, [13]=tmax.
-# The kernel contracts 8-column windows of X against the refq tables:
-#   t   uses X[:, 0:8]  = [1, o, d_x..d_z, (m_x -> 0 row)]
-#   det/u/v use X[:, 4:12] = [d, m, (pad -> 0 rows)]
-# tmin/tmax live OUTSIDE both windows: tmax is +inf for camera rays and
-# inf * 0-row = NaN would poison the contraction.
+#   [12]=tmin, [13]=min(tmax, BIG), [14:16]=0.
+# The kernel contracts the FULL 16 columns against the (zero-row-padded)
+# refq tables; tmax is clamped to the finite BIG because +inf * 0-row
+# = NaN would poison the contraction sum.
 X_COLS = 16
+BIG = 3e38  # finite stand-in for +inf throughout the packet pipeline
 
 
 @flax.struct.dataclass
@@ -76,10 +87,10 @@ class PacketGrid:
     starts_x: jnp.ndarray  # i32[Dx, Dy, Dz+1]
     starts_y: jnp.ndarray  # i32[Dy, Dz, Dx+1]
     starts_z: jnp.ndarray  # i32[Dz, Dx, Dy+1]
-    refq_x: jnp.ndarray    # f32[4, 8, R_cap]
+    refq_x: jnp.ndarray    # f32[12, 4*R_cap], 128-ref blocked
     refq_y: jnp.ndarray
     refq_z: jnp.ndarray
-    refid_x: jnp.ndarray   # f32[R_cap] (i32 id bits)
+    refid_x: jnp.ndarray   # f32[1, R_cap] (i32 id bits)
     refid_y: jnp.ndarray
     refid_z: jnp.ndarray
     total_refs: jnp.ndarray  # i32[]
@@ -96,7 +107,9 @@ class PacketGrid:
 
 
 def mt_matmul_columns(tris: Triangles):
-    """Per-triangle 4x8 matmul columns (see module docstring). f32[T,4,8]."""
+    """Per-triangle 4x12 matmul columns (see module docstring). f32[T,4,12].
+
+    Rows contract against X[:, 0:12] = [1, o(3), d(3), m(3), 0, 0]."""
     v0, e1, e2, n = tris.v0, tris.e1, tris.e2, tris.n
     q1 = jnp.cross(e2, v0)
     q2 = jnp.cross(v0, e1)
@@ -105,12 +118,11 @@ def mt_matmul_columns(tris: Triangles):
     z1 = jnp.zeros((t, 1), jnp.float32)
     z2 = jnp.zeros((t, 2), jnp.float32)
     z3 = jnp.zeros((t, 3), jnp.float32)
-    # Rows of each table match the X window it contracts against.
-    b_t = jnp.concatenate([-c0, n, z3, z1], axis=1)       # X[:, 0:8]
-    b_det = jnp.concatenate([-n, z3, z2], axis=1)         # X[:, 4:12]
-    b_u = jnp.concatenate([-q1, e2, z2], axis=1)
-    b_v = jnp.concatenate([-q2, -e1, z2], axis=1)
-    return jnp.stack([b_t, b_det, b_u, b_v], axis=1)      # [T, 4, 8]
+    b_t = jnp.concatenate([-c0, n, z3, z3, z2], axis=1)
+    b_det = jnp.concatenate([z1, z3, -n, z3, z2], axis=1)
+    b_u = jnp.concatenate([z1, z3, -q1, e2, z2], axis=1)
+    b_v = jnp.concatenate([z1, z3, -q2, -e1, z2], axis=1)
+    return jnp.stack([b_t, b_det, b_u, b_v], axis=1)      # [T, 4, 12]
 
 
 def rays_to_x(org, dir, tmin, tmax):
@@ -119,6 +131,7 @@ def rays_to_x(org, dir, tmin, tmax):
     one = jnp.ones((n, 1), jnp.float32)
     m = jnp.cross(org, dir)
     z2 = jnp.zeros((n, 2), jnp.float32)
+    tmax = jnp.minimum(tmax, BIG)
     return jnp.concatenate(
         [one, org, dir, m, z2, tmin[:, None], tmax[:, None], z2], axis=1)
 
@@ -158,14 +171,23 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims, ref_capacity):
         end_col = starts[dc::dc].reshape(da, db, 1)
         starts3 = jnp.concatenate([s3, end_col], axis=2)
         starts3 = jnp.pad(
-            starts3, ((0, max(PAD_A - da, 0)), (0, max(PAD_B - db, 0)),
-                      (0, max(PAD_C1 - (dc + 1), 0))), mode="edge")
+            starts3, ((0, max(PAD_A - da, 0)), (0, pad_b(db) - db),
+                      (0, pad_c1(dc + 1) - (dc + 1))), mode="edge")
         live = jnp.arange(ref_capacity) < total
         # Dead tail rows: all-zero columns give det = 0 -> never a hit.
-        refq = jnp.where(live[:, None, None], bq[srefs], 0.0)
-        refq = refq.transpose(1, 2, 0)  # [4, 8, R]
+        refq = jnp.where(live[:, None, None], bq[srefs], 0.0)  # [R, 4, 12]
+        # Block per 128 refs as [t|det|u|v] column groups: one K=12 MXU
+        # contraction per panel covers all four quantities.
+        refq = (refq.reshape(ref_capacity // 128, 128, 4, 12)
+                .transpose(3, 0, 2, 1)          # [12, R/128, 4, 128]
+                .reshape(12, 4 * ref_capacity))
+        # Pad to 16 rows (sublane tiling) with zeros; X cols 12:16 are
+        # [tmin, clamped tmax, 0, 0], so the extra terms contribute 0.
+        refq = jnp.pad(refq, ((0, 4), (0, 0)))
+        # (1, R): Mosaic rejects dynamic-offset DMAs on 1-D arrays.
         refid = jax.lax.bitcast_convert_type(
-            jnp.where(live, srefs, -1).astype(jnp.int32), jnp.float32)
+            jnp.where(live, srefs, -1).astype(jnp.int32),
+            jnp.float32)[None, :]
         outs.append((starts3, refq, refid))
     return outs, total
 
@@ -176,9 +198,9 @@ def build_packet(tris: Triangles, density: float = 1.2,
     """Host wrapper: static dims/capacity from the density heuristic,
     retry on overflow (same capacity policy as the other builders)."""
     if tris.count == 0:
-        z3 = jnp.zeros((PAD_A, PAD_B, PAD_C1), jnp.int32)
-        zq = jnp.zeros((4, 8, 256), jnp.float32)
-        zi = jnp.zeros((256,), jnp.float32)
+        z3 = jnp.zeros((PAD_A, pad_b(1), pad_c1(2)), jnp.int32)
+        zq = jnp.zeros((16, 4 * 256), jnp.float32)
+        zi = jnp.zeros((1, 256), jnp.float32)
         return PacketGrid(dims=(1, 1, 1), bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           starts_x=z3, starts_y=z3, starts_z=z3,

@@ -40,9 +40,13 @@ from ..grid.packet import PacketGrid, rays_to_x
 
 TILE = 1024    # rays per packet (one grid program)
 RCHUNK = 128   # triangle refs per dense panel
-SCHUNK = 8     # slices per starts-window fetch
-BMAX = 8       # rect rows held in the starts window
-CMAX = 24      # rect cols held in the starts window
+# The starts window is a (SCHUNK, BWIN, CWIN) block. Mosaic DMA offsets
+# must be aligned (sublane: 8, lane: 128), so the window is anchored at
+# aligned coordinates and sized 2x the alignment: any 8-row / 129-col
+# rect anchored anywhere fits a single aligned window.
+SCHUNK = 8     # slices per window
+BWIN = 16      # rect rows per window (8-aligned anchor)
+CWIN = 256     # rect cols per window (128-aligned anchor)
 
 _BIG = 3e38    # finite stand-in for +inf (inf * 0 = NaN poisons selects)
 
@@ -71,15 +75,15 @@ def _make_kernel(dims, r_cap, any_hit: bool):
     da_l = (dx, dy, dz)
     db_l = (dy, dz, dx)
     dc_l = (dz, dx, dy)
-    # Padded starts tables can exceed the logical dims (grid/packet.py
-    # pads up to the window minimums); clamp window bases to the PADDED
-    # shape so the DMA stays in bounds.
-    pda_l = tuple(max(d, SCHUNK) for d in da_l)
-    pdb_l = tuple(max(d, BMAX) for d in db_l)
-    pdc_l = tuple(max(d + 1, CMAX + 1) for d in dc_l)
+    # Padded slice-count extents (mirrors grid/packet.py's PAD_A): the
+    # b/c window anchors need no clamping — pad_b/pad_c1 padding
+    # guarantees any aligned window anchored at a logical coordinate
+    # stays in bounds.
+    from ..grid.packet import PAD_A
+    pda_l = tuple(max(d, PAD_A) for d in da_l)
 
     def kernel(meta_ref, x_ref, sx, sy, sz, qx, qy, qz, ix, iy, iz,
-               out_ref, win, rq, rid, acc_t, acc_id, acc_u, acc_v,
+               out_ref, win, rr, rq, rid, acc_t, acc_id, acc_u, acc_v,
                best_ref, sem_win, sem_rq, sem_rid):
         # ------------------------------------------------------------------
         # Per-tile setup.
@@ -107,8 +111,6 @@ def _make_kernel(dims, r_cap, any_hit: bool):
         n_b = _isel3(axis, db_l[0], db_l[1], db_l[2])
         n_c = _isel3(axis, dc_l[0], dc_l[1], dc_l[2])
         p_a = _isel3(axis, pda_l[0], pda_l[1], pda_l[2])
-        p_b = _isel3(axis, pdb_l[0], pdb_l[1], pdb_l[2])
-        p_c1 = _isel3(axis, pdc_l[0], pdc_l[1], pdc_l[2])
 
         # meta = [lo_x, lo_y, lo_z, cs_x, cs_y, cs_z, 0, 0]
         ax1 = (axis + 1) % 3
@@ -197,10 +199,16 @@ def _make_kernel(dims, r_cap, any_hit: bool):
         alive2 = alive[:, None]
 
         def fetch_window(kw, jw, cw):
+            # Re-derive alignment right at the slice expression: Mosaic's
+            # divisibility analysis does not track it through loop
+            # carries/selects, only through syntactic (x // n) * n.
+            jw = (jw // 8) * 8
+            cw = (cw // 128) * 128
+
             def start(tab):
                 cp = pltpu.make_async_copy(
-                    tab.at[pl.ds(kw, SCHUNK), pl.ds(jw, BMAX),
-                           pl.ds(cw, CMAX + 1)],
+                    tab.at[pl.ds(kw, SCHUNK), pl.ds(jw, BWIN),
+                           pl.ds(cw, CWIN)],
                     win, sem_win)
                 cp.start()
                 cp.wait()
@@ -220,9 +228,9 @@ def _make_kernel(dims, r_cap, any_hit: bool):
         def fetch_refs(r0):
             def start(qt, it):
                 cq = pltpu.make_async_copy(
-                    qt.at[:, :, pl.ds(r0, RCHUNK)], rq, sem_rq)
+                    qt.at[:, pl.ds(4 * r0, 4 * RCHUNK)], rq, sem_rq)
                 ci = pltpu.make_async_copy(
-                    it.at[pl.ds(r0, RCHUNK)], rid, sem_rid)
+                    it.at[:, pl.ds(r0, RCHUNK)], rid, sem_rid)
                 cq.start()
                 ci.start()
                 cq.wait()
@@ -240,17 +248,24 @@ def _make_kernel(dims, r_cap, any_hit: bool):
             def _():
                 start(qz, iz)
 
-        xt = x_ref[:, 0:8]
-        xd = x_ref[:, 4:12]
+        xmm = x_ref[:]  # full 16 cols; refq rows 12:16 are zero
 
-        def run_panel(r0, r1):
-            """Test refs [r0, r1) (< RCHUNK span) densely vs all rays."""
-            base = jnp.clip(r0, 0, r_cap - RCHUNK)
+        def run_panel(base, r0, r1):
+            """Test refs [r0, r1) densely vs all rays. `base` is the
+            128-aligned DMA anchor; [r0, r1) ⊆ [base, base + RCHUNK)."""
+            base = (base // RCHUNK) * RCHUNK
             fetch_refs(base)
-            y_t = jnp.dot(xt, rq[0], preferred_element_type=jnp.float32)
-            y_d = jnp.dot(xd, rq[1], preferred_element_type=jnp.float32)
-            y_u = jnp.dot(xd, rq[2], preferred_element_type=jnp.float32)
-            y_v = jnp.dot(xd, rq[3], preferred_element_type=jnp.float32)
+            # ONE K=12 contraction yields all four MT quantities as
+            # 128-wide slices of Y (the refq layout is 128-ref blocked).
+            # HIGHEST: true f32 accumulation on the MXU. The default
+            # (bf16 passes) loses ~8 mantissa bits and flips ~1% of hits
+            # near triangle edges (measured vs the oracle on TPU).
+            y = jnp.dot(xmm, rq[:], precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+            y_t = y[:, 0:RCHUNK]
+            y_d = y[:, RCHUNK:2 * RCHUNK]
+            y_u = y[:, 2 * RCHUNK:3 * RCHUNK]
+            y_v = y[:, 3 * RCHUNK:4 * RCHUNK]
             ok0 = jnp.abs(y_d) > 1e-12
             iv = jnp.where(ok0, 1.0 / jnp.where(ok0, y_d, 1.0), 0.0)
             t = y_t * iv
@@ -263,7 +278,7 @@ def _make_kernel(dims, r_cap, any_hit: bool):
             better = ok & (t < acc_t[:])
             acc_t[:] = jnp.where(better, t, acc_t[:])
             acc_id[:] = jnp.where(better, jnp.broadcast_to(
-                rid[:][None, :], (TILE, RCHUNK)), acc_id[:])
+                rid[:], (TILE, RCHUNK)), acc_id[:])
             acc_u[:] = jnp.where(better, u, acc_u[:])
             acc_v[:] = jnp.where(better, v, acc_v[:])
             best_ref[:] = jnp.minimum(best_ref[:],
@@ -272,8 +287,10 @@ def _make_kernel(dims, r_cap, any_hit: bool):
         # ------------------------------------------------------------------
         # Slice march. Window state is carried in the while loop.
         # ------------------------------------------------------------------
-        def rect_of(k):
-            """Conservative [b0,b1]x[c0,c1] of the frustum in slice k."""
+        def rect_of(k, th_cap):
+            """Conservative [b0,b1]x[c0,c1] of the frustum in slice k.
+            th_cap: running upper bound on useful t (shrinks as rays
+            find hits, collapsing the rect near the end of the march)."""
             kf = k.astype(jnp.float32)
             pl0 = lo_a + kf * cs_a
             pl1 = pl0 + cs_a
@@ -289,11 +306,12 @@ def _make_kernel(dims, r_cap, any_hit: bool):
                             jnp.minimum(cands[2], cands[3])),
                 jnp.minimum(jnp.minimum(cands[4], cands[5]),
                             jnp.minimum(cands[6], cands[7]))), t_lo0)
-            th = jnp.minimum(jnp.maximum(
+            th = jnp.minimum(jnp.minimum(jnp.maximum(
                 jnp.maximum(jnp.maximum(cands[0], cands[1]),
                             jnp.maximum(cands[2], cands[3])),
                 jnp.maximum(jnp.maximum(cands[4], cands[5]),
-                            jnp.maximum(cands[6], cands[7]))), t_hi0)
+                            jnp.maximum(cands[6], cands[7]))), t_hi0),
+                th_cap)
 
             def minor(olo, ohi, dlo, dhi, lo_m, ics):
                 x00 = tl * dlo
@@ -315,47 +333,106 @@ def _make_kernel(dims, r_cap, any_hit: bool):
             c1 = jnp.clip(c1, 0, n_c - 1)
             return b0, b1, c0, c1
 
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (BWIN, CWIN), 1)
+
         def slice_body(state):
             k, kw, jw, cw, has_win, _ = state
-            b0, b1, c0, c1 = rect_of(k)
+            t_cap = jnp.max(jnp.where(
+                alive, jnp.minimum(jnp.minimum(best_ref[:], tmax), leave),
+                -_BIG))
+            b0, b1, c0, c1 = rect_of(k, t_cap)
 
-            # Refresh the starts window when (k, rect) leaves it.
-            need = ((has_win == 0)
-                    | (k < kw) | (k >= kw + SCHUNK)
-                    | (b0 < jw) | (b1 >= jw + BMAX)
-                    | (c0 < cw) | (c1 + 1 >= cw + CMAX + 1))
-            nkw = jnp.clip(jnp.where(step > 0, k, k - (SCHUNK - 1)),
-                           0, jnp.maximum(p_a - SCHUNK, 0))
-            njw = jnp.clip(b0, 0, jnp.maximum(p_b - BMAX, 0))
-            ncw = jnp.clip(c0, 0, jnp.maximum(p_c1 - (CMAX + 1), 0))
-            kw = jnp.where(need, nkw, kw)
-            jw = jnp.where(need, njw, jw)
-            cw = jnp.where(need, ncw, cw)
+            # Column segments (<=128 cells: one aligned window each) x
+            # row windows (<=16 rows each). Typical rects are ~3x3, so
+            # both loops run once and the window persists across slices;
+            # `need` refetches only when (k, rect) drifts out of it.
+            # Mosaic cannot read VMEM scalars at dynamic LANE indices, so
+            # per-row run boundaries are extracted as masked lane
+            # reductions into rr[:, 0:2] and read back with dynamic
+            # SUBLANE indices only.
+            nseg = (c1 - c0) // 128 + 1
+            jbase = (b0 // 8) * 8
+            nrw = (b1 - jbase) // BWIN + 1
 
-            @pl.when(need)
-            def _():
-                fetch_window(kw, jw, cw)
+            def seg_body(cseg, kjc):
+                cc = c0 + cseg * 128
+                ce = jnp.minimum(cc + 127, c1)
 
-            # Rows j = b0..b1: each is a contiguous ref run.
-            def row_body(j, _):
-                ki = k - kw
-                ji = j - jw
-                r0 = win[ki, ji, c0 - cw]
-                r1 = win[ki, ji, c1 + 1 - cw]
+                def rw_body(rwi, kjc):
+                    kw, jw, cw, has_win = kjc
+                    jlo = jnp.maximum(b0, jbase + rwi * BWIN)
+                    jhi = jnp.minimum(b1, jbase + rwi * BWIN + BWIN - 1)
+                    need = ((has_win == 0)
+                            | (k < kw) | (k >= kw + SCHUNK)
+                            | (jlo < jw) | (jhi >= jw + BWIN)
+                            | (cc < cw) | (ce + 1 >= cw + CWIN))
+                    nkw = jnp.clip(
+                        jnp.where(step > 0, k, k - (SCHUNK - 1)),
+                        0, jnp.maximum(p_a - SCHUNK, 0))
+                    kw = jnp.where(need, nkw, kw)
+                    jw = jnp.where(need, (jlo // 8) * 8, jw)
+                    cw = jnp.where(need, (cc // 128) * 128, cw)
 
-                def chunk_body(i, _):
-                    a0 = r0 + i * RCHUNK
-                    run_panel(a0, jnp.minimum(r1, a0 + RCHUNK))
-                    return 0
+                    @pl.when(need)
+                    def _():
+                        fetch_window(kw, jw, cw)
 
-                nch = (r1 - r0 + (RCHUNK - 1)) // RCHUNK
-                jax.lax.fori_loop(0, nch, chunk_body, 0)
-                return 0
+                    # Run boundaries for all window rows at once.
+                    plane = win[k - kw]
+                    r0v = jnp.sum(jnp.where(lane_w == cc - cw, plane, 0),
+                                  axis=1)
+                    r1v = jnp.sum(jnp.where(lane_w == ce + 1 - cw, plane,
+                                            0), axis=1)
+                    rr[:, 0] = r0v
+                    rr[:, 1] = r1v
 
-            # Rect rows can exceed the window height only if BMAX < rect
-            # height; rows are clamped into the fetched window by `need`
-            # above (b1 < jw + BMAX), so this loop is in-window.
-            jax.lax.fori_loop(b0, b1 + 1, row_body, 0)
+                    # Adaptive span merge: one contiguous run covering
+                    # all rect rows when the inter-row gaps are small
+                    # (gap refs are real triangles of this slice, so
+                    # testing them is conservative-correct and packs
+                    # panels full); per-row runs otherwise (a full span
+                    # across Sponza-like wall rows costs more than the
+                    # sparse panels it saves — measured both ways).
+                    row_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (BWIN, 128), 0)[:, 0:1]
+                    in_rect = ((row_i >= jlo - jw)
+                               & (row_i <= jhi - jw))
+                    runs = jnp.sum(jnp.where(
+                        in_rect, rr[:, 1:2] - rr[:, 0:1], 0))
+                    r0s = rr[jlo - jw, 0]
+                    r1s = rr[jhi - jw, 1]
+                    span = r1s - r0s
+                    merged = span <= jnp.maximum(runs * 2, 192)
+
+                    def panels(r0, r1):
+                        def chunk_body(i, _):
+                            a0 = (r0 // RCHUNK + i) * RCHUNK
+                            run_panel(a0, jnp.maximum(r0, a0),
+                                      jnp.minimum(r1, a0 + RCHUNK))
+                            return 0
+
+                        nch = (r1 - (r0 // RCHUNK) * RCHUNK
+                               + (RCHUNK - 1)) // RCHUNK
+                        jax.lax.fori_loop(0, nch, chunk_body, 0)
+
+                    @pl.when(merged & (runs > 0))
+                    def _():
+                        panels(r0s, r1s)
+
+                    @pl.when(~merged)
+                    def _():
+                        def row_body(j, _):
+                            panels(rr[j - jw, 0], rr[j - jw, 1])
+                            return 0
+
+                        jax.lax.fori_loop(jlo, jhi + 1, row_body, 0)
+
+                    return kw, jw, cw, jnp.int32(1)
+
+                return jax.lax.fori_loop(0, nrw, rw_body, kjc)
+
+            kw, jw, cw, has_win = jax.lax.fori_loop(
+                0, nseg, seg_body, (kw, jw, cw, has_win))
 
             # Early termination: next slice's entry t per ray.
             kn = k + step
@@ -370,7 +447,7 @@ def _make_kernel(dims, r_cap, any_hit: bool):
                 done = best_ref[:] <= t_entry
             act = alive & ~done & (t_entry < jnp.minimum(tmax, leave))
             n_act = jnp.sum(act.astype(jnp.int32))
-            return kn, kw, jw, cw, jnp.int32(1), n_act
+            return kn, kw, jw, cw, has_win, n_act
 
         def slice_cond(state):
             k, _, _, _, _, n_act = state
@@ -411,7 +488,7 @@ def _trace_padded(xp, meta, tables, dims, any_hit, interpret):
     (sx, qx, ix_), (sy, qy, iy_), (sz, qz, iz_) = tables
     n_pad = xp.shape[0]
     n_tiles = n_pad // TILE
-    r_cap = qx.shape[2]
+    r_cap = qx.shape[1] // 4
     kernel = _make_kernel(dims, r_cap, any_hit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -432,9 +509,10 @@ def _trace_padded(xp, meta, tables, dims, any_hit, interpret):
         out_specs=pl.BlockSpec((TILE, 4), lambda i, m: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((SCHUNK, BMAX, CMAX + 1), jnp.int32),   # win
-            pltpu.VMEM((4, 8, RCHUNK), jnp.float32),           # rq
-            pltpu.VMEM((RCHUNK,), jnp.float32),                # rid
+            pltpu.VMEM((SCHUNK, BWIN, CWIN), jnp.int32),       # win
+            pltpu.VMEM((BWIN, 128), jnp.int32),                # rr
+            pltpu.VMEM((16, 4 * RCHUNK), jnp.float32),         # rq
+            pltpu.VMEM((1, RCHUNK), jnp.float32),              # rid
             pltpu.VMEM((TILE, RCHUNK), jnp.float32),           # acc_t
             pltpu.VMEM((TILE, RCHUNK), jnp.float32),           # acc_id
             pltpu.VMEM((TILE, RCHUNK), jnp.float32),           # acc_u
@@ -449,6 +527,10 @@ def _trace_padded(xp, meta, tables, dims, any_hit, interpret):
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         grid_spec=grid_spec,
+        # Panels + accumulators exceed the default 16M scoped-vmem limit;
+        # the physical budget is larger and ~20M fits comfortably.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(meta, xp, sx, sy, sz, qx, qy, qz, ix_, iy_, iz_)
 

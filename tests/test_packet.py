@@ -21,7 +21,7 @@ def _cell_sets(starts3, refid, axis, dims):
     """Per-(x,y,z)-cell ref sets from one axis layout."""
     a, b, c = packet._axis_order(axis)
     s = np.asarray(starts3)
-    ids = np.asarray(jax.lax.bitcast_convert_type(refid, jnp.int32))
+    ids = np.asarray(jax.lax.bitcast_convert_type(refid, jnp.int32))[0]
     out = {}
     for ka in range(dims[a]):
         for kb in range(dims[b]):
@@ -62,8 +62,8 @@ def test_starts_monotone_and_total(cornell):
         starts3, _, _ = g.axis_tables(axis)
         # Padded up to the tracer's window minimums.
         assert starts3.shape == (max(da, packet.PAD_A),
-                                 max(db, packet.PAD_B),
-                                 max(dc + 1, packet.PAD_C1))
+                                 packet.pad_b(db),
+                                 packet.pad_c1(dc + 1))
         real = np.asarray(starts3)[:da, :db, :dc + 1]
         flat_rows = real.reshape(-1, dc + 1)
         # Within each row: monotone; across rows: row end == next row start.
@@ -88,12 +88,12 @@ def test_mt_matmul_matches_classic(cornell):
     tmax = jnp.full((n,), jnp.inf)
 
     x = packet.rays_to_x(org, dir, tmin, tmax)
-    bq = packet.mt_matmul_columns(cornell)          # [T, 4, 8]
-    b = bq.transpose(1, 2, 0)                       # [4, 8, T]
-    y_t = x[:, 0:8] @ b[0]
-    y_det = x[:, 4:12] @ b[1]
-    y_u = x[:, 4:12] @ b[2]
-    y_v = x[:, 4:12] @ b[3]
+    bq = packet.mt_matmul_columns(cornell)          # [T, 4, 12]
+    b = bq.transpose(1, 2, 0)                       # [4, 12, T]
+    y_t = x[:, 0:12] @ b[0]
+    y_det = x[:, 0:12] @ b[1]
+    y_u = x[:, 0:12] @ b[2]
+    y_v = x[:, 0:12] @ b[3]
     inv = jnp.where(jnp.abs(y_det) > 1e-9, 1.0 / y_det, 0.0)
     t_m, u_m, v_m = y_t * inv, y_u * inv, y_v * inv
 
