@@ -80,7 +80,12 @@ BIG = 3e38  # finite stand-in for +inf throughout the packet pipeline
 
 @flax.struct.dataclass
 class PacketGrid:
-    dims: tuple = flax.struct.field(pytree_node=False)  # (Dx, Dy, Dz)
+    # Per-layout grid dims, PERMUTED to (slice, row, col) order:
+    # dims3[a] = (Da, Db, Dc) for major axis a with (b, c) = ((a+1)%3,
+    # (a+2)%3). Layouts are independent grids: coarse along their slice
+    # axis (few marched slices) and fine in cross-section (tight frustum
+    # rects) — the packet analog of the reference's per-cell adaptivity.
+    dims3: tuple = flax.struct.field(pytree_node=False)
     bbox_lo: jnp.ndarray  # f32[3]
     bbox_hi: jnp.ndarray  # f32[3]
     # Per major axis a: slice-major tables (see module docstring).
@@ -98,7 +103,7 @@ class PacketGrid:
 
     @property
     def num_cells(self) -> int:
-        return int(np.prod(self.dims))
+        return int(np.prod(self.dims3[0]))
 
     def axis_tables(self, axis: int):
         return ((self.starts_x, self.refq_x, self.refid_x),
@@ -140,28 +145,33 @@ def _axis_order(axis: int):
     return axis, (axis + 1) % 3, (axis + 2) % 3
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "ref_capacity"))
-def _build(tris: Triangles, bbox_lo, bbox_hi, dims, ref_capacity):
-    """Bin tris once, then emit the three slice-major layouts."""
-    lo, hi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, dims)
-    span = hi - lo + 1
-    counts = span[:, 0] * span[:, 1] * span[:, 2]
-    tri_idx, rank, valid, total = expand_by_counts(counts, ref_capacity)
-    s = span[tri_idx]
-    l = lo[tri_idx]
-    dx = rank % s[:, 0]
-    rem = rank // s[:, 0]
-    dy = rem % s[:, 1]
-    dz = rem // s[:, 1]
-    v = jnp.stack([l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz], axis=1)
-
-    num_cells = int(np.prod(dims))
-    bq = mt_matmul_columns(tris)  # [T, 4, 8]
+@functools.partial(jax.jit, static_argnames=("dims3", "ref_capacity"))
+def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
+    """Bin tris into each layout's (independent) grid and emit the three
+    slice-major tables."""
+    bq = mt_matmul_columns(tris)  # [T, 4, 12]
 
     outs = []
+    totals = []
     for axis in range(3):
         a, b, c = _axis_order(axis)
-        da, db, dc = dims[a], dims[b], dims[c]
+        da, db, dc = dims3[axis]
+        dims_xyz = [0, 0, 0]
+        dims_xyz[a], dims_xyz[b], dims_xyz[c] = da, db, dc
+        lo, hi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, tuple(dims_xyz))
+        span = hi - lo + 1
+        counts = span[:, 0] * span[:, 1] * span[:, 2]
+        tri_idx, rank, valid, total = expand_by_counts(counts,
+                                                      ref_capacity)
+        s = span[tri_idx]
+        l = lo[tri_idx]
+        dx = rank % s[:, 0]
+        rem = rank // s[:, 0]
+        dy = rem % s[:, 1]
+        dz = rem // s[:, 1]
+        v = jnp.stack([l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz], axis=1)
+
+        num_cells = da * db * dc
         key = (v[:, a] * db + v[:, b]) * dc + v[:, c]
         key = jnp.where(valid, key, num_cells)
         skeys, srefs = sort_pairs(key, jnp.where(valid, tri_idx, 0))
@@ -189,19 +199,27 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims, ref_capacity):
             jnp.where(live, srefs, -1).astype(jnp.int32),
             jnp.float32)[None, :]
         outs.append((starts3, refq, refid))
-    return outs, total
+        totals.append(total)
+    return outs, jnp.max(jnp.stack(totals))
 
 
-def build_packet(tris: Triangles, density: float = 1.2,
+def build_packet(tris: Triangles, cross_density: float = 0.4,
+                 slice_density: float = 0.02,
                  ref_capacity: int | None = None,
                  dims: tuple | None = None) -> PacketGrid:
     """Host wrapper: static dims/capacity from the density heuristic,
-    retry on overflow (same capacity policy as the other builders)."""
+    retry on overflow (same capacity policy as the other builders).
+
+    Each layout gets an ANISOTROPIC grid: slice_density sets the (coarse)
+    resolution along its march axis — few slices, each a thick slab —
+    and cross_density the (fine) cross-section — tight frustum rects.
+    `dims` forces one isotropic grid for all three layouts (tests)."""
     if tris.count == 0:
         z3 = jnp.zeros((PAD_A, pad_b(1), pad_c1(2)), jnp.int32)
         zq = jnp.zeros((16, 4 * 256), jnp.float32)
         zi = jnp.zeros((1, 256), jnp.float32)
-        return PacketGrid(dims=(1, 1, 1), bbox_lo=jnp.zeros(3, jnp.float32),
+        d3 = ((1, 1, 1),) * 3
+        return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           starts_x=z3, starts_y=z3, starts_z=z3,
                           refq_x=zq, refq_y=zq, refq_z=zq,
@@ -214,20 +232,28 @@ def build_packet(tris: Triangles, density: float = 1.2,
     lo = lo - pad
     hi = hi + pad
     if dims is None:
-        dims = density_dims(hi - lo, tris.count, density)
+        cross = density_dims(hi - lo, tris.count, cross_density)
+        slab = density_dims(hi - lo, tris.count, slice_density)
+        dims3 = tuple(
+            (slab[a], cross[(a + 1) % 3], cross[(a + 2) % 3])
+            for a in range(3))
+    else:
+        dims3 = tuple(
+            (dims[a], dims[(a + 1) % 3], dims[(a + 2) % 3])
+            for a in range(3))
     if ref_capacity is None:
         ref_capacity = max(1024, int(tris.count * 4))
     ref_capacity = -(-ref_capacity // 256) * 256
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
-        outs, total = _build(tris, bbox_lo, bbox_hi, dims, ref_capacity)
+        outs, total = _build(tris, bbox_lo, bbox_hi, dims3, ref_capacity)
         t = int(jax.device_get(total))
         if t <= ref_capacity:
             break
         ref_capacity = -(-int(t * 1.25) // 256) * 256
     (sx, qx, ix), (sy, qy, iy), (sz, qz, iz) = outs
-    return PacketGrid(dims=dims, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
+    return PacketGrid(dims3=dims3, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
                       starts_x=sx, starts_y=sy, starts_z=sz,
                       refq_x=qx, refq_y=qy, refq_z=qz,
                       refid_x=ix, refid_y=iy, refid_z=iz,

@@ -69,12 +69,11 @@ def _isel3(axis, x, y, z):
     return ix * x + iy * y + iz * z
 
 
-def _make_kernel(dims, r_cap, any_hit: bool):
-    dx, dy, dz = (int(d) for d in dims)
-    # Per-axis layout extents (a = major, b, c = (a+1)%3, (a+2)%3).
-    da_l = (dx, dy, dz)
-    db_l = (dy, dz, dx)
-    dc_l = (dz, dx, dy)
+def _make_kernel(dims3, r_cap, any_hit: bool):
+    # Per-layout extents, already permuted to (slice, row, col) order.
+    da_l = tuple(int(dims3[a][0]) for a in range(3))
+    db_l = tuple(int(dims3[a][1]) for a in range(3))
+    dc_l = tuple(int(dims3[a][2]) for a in range(3))
     # Padded slice-count extents (mirrors grid/packet.py's PAD_A): the
     # b/c window anchors need no clamping — pad_b/pad_c1 padding
     # guarantees any aligned window anchored at a logical coordinate
@@ -112,15 +111,17 @@ def _make_kernel(dims, r_cap, any_hit: bool):
         n_c = _isel3(axis, dc_l[0], dc_l[1], dc_l[2])
         p_a = _isel3(axis, pda_l[0], pda_l[1], pda_l[2])
 
-        # meta = [lo_x, lo_y, lo_z, cs_x, cs_y, cs_z, 0, 0]
+        # meta = [lo_xyz (3), cs of layout x (slice,row,col), cs of
+        # layout y, cs of layout z, pad] — layouts have independent
+        # anisotropic grids, so cell sizes are per layout.
         ax1 = (axis + 1) % 3
         ax2 = (axis + 2) % 3
         lo_a = _sel3(axis, meta_ref[0], meta_ref[1], meta_ref[2])
         lo_b = _sel3(ax1, meta_ref[0], meta_ref[1], meta_ref[2])
         lo_c = _sel3(ax2, meta_ref[0], meta_ref[1], meta_ref[2])
-        cs_a = _sel3(axis, meta_ref[3], meta_ref[4], meta_ref[5])
-        cs_b = _sel3(ax1, meta_ref[3], meta_ref[4], meta_ref[5])
-        cs_c = _sel3(ax2, meta_ref[3], meta_ref[4], meta_ref[5])
+        cs_a = _sel3(axis, meta_ref[3], meta_ref[6], meta_ref[9])
+        cs_b = _sel3(axis, meta_ref[4], meta_ref[7], meta_ref[10])
+        cs_c = _sel3(axis, meta_ref[5], meta_ref[8], meta_ref[11])
 
         # Permuted per-ray components (arithmetic-mask select).
         o_a = _sel3(axis, ox, oy, oz)
@@ -193,10 +194,8 @@ def _make_kernel(dims, r_cap, any_hit: bool):
         acc_v[:] = jnp.zeros((TILE, RCHUNK), jnp.float32)
         best_ref[:] = jnp.full((TILE,), _BIG, jnp.float32)
 
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, RCHUNK), 1)
         tmin2 = tmin[:, None]
         tmax2 = tmax[:, None]
-        alive2 = alive[:, None]
 
         def fetch_window(kw, jw, cw):
             # Re-derive alignment right at the slice expression: Mosaic's
@@ -250,12 +249,15 @@ def _make_kernel(dims, r_cap, any_hit: bool):
 
         xmm = x_ref[:]  # full 16 cols; refq rows 12:16 are zero
 
-        def run_panel(base, r0, r1):
-            """Test refs [r0, r1) densely vs all rays. `base` is the
-            128-aligned DMA anchor; [r0, r1) ⊆ [base, base + RCHUNK)."""
+        def run_panel(base):
+            """Test the aligned 128-ref window at `base` densely vs all
+            rays. No lane-range mask: refs outside the caller's run are
+            real triangles of this layout, so any MT hit they produce is
+            a true intersection (conservative-correct, like span merge);
+            dead tail rows are all-zero -> det = 0 -> rejected."""
             base = (base // RCHUNK) * RCHUNK
             fetch_refs(base)
-            # ONE K=12 contraction yields all four MT quantities as
+            # ONE K=16 contraction yields all four MT quantities as
             # 128-wide slices of Y (the refq layout is 128-ref blocked).
             # HIGHEST: true f32 accumulation on the MXU. The default
             # (bf16 passes) loses ~8 mantissa bits and flips ~1% of hits
@@ -266,14 +268,15 @@ def _make_kernel(dims, r_cap, any_hit: bool):
             y_d = y[:, RCHUNK:2 * RCHUNK]
             y_u = y[:, 2 * RCHUNK:3 * RCHUNK]
             y_v = y[:, 3 * RCHUNK:4 * RCHUNK]
-            ok0 = jnp.abs(y_d) > 1e-12
-            iv = jnp.where(ok0, 1.0 / jnp.where(ok0, y_d, 1.0), 0.0)
+            iv = 1.0 / y_d  # det=0 -> inf/NaN, self-filtered below
             t = y_t * iv
             u = y_u * iv
             v = y_v * iv
-            okc = (lane2 >= r0 - base) & (lane2 < r1 - base)
-            ok = (ok0 & okc & alive2
-                  & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            # min-form barycentric test; NaN/inf compare false, and the
+            # eps guard keeps near-parallel slivers from reporting
+            # phantom far hits (t_num/det blows up but stays < BIG).
+            edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+            ok = ((edge >= 0.0) & (jnp.abs(y_d) > 1e-12)
                   & (t > tmin2) & (t < tmax2))
             better = ok & (t < acc_t[:])
             acc_t[:] = jnp.where(better, t, acc_t[:])
@@ -281,8 +284,6 @@ def _make_kernel(dims, r_cap, any_hit: bool):
                 rid[:], (TILE, RCHUNK)), acc_id[:])
             acc_u[:] = jnp.where(better, u, acc_u[:])
             acc_v[:] = jnp.where(better, v, acc_v[:])
-            best_ref[:] = jnp.minimum(best_ref[:],
-                                      jnp.min(acc_t[:], axis=1))
 
         # ------------------------------------------------------------------
         # Slice march. Window state is carried in the while loop.
@@ -335,107 +336,121 @@ def _make_kernel(dims, r_cap, any_hit: bool):
 
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (BWIN, CWIN), 1)
 
+        CHECK = 4  # slices per termination check (amortizes the
+        #            vector reductions + scalar syncs of the check;
+        #            measured ~4us/slice of loop-frame overhead before)
+
         def slice_body(state):
-            k, kw, jw, cw, has_win, _ = state
+            k0s, kw, jw, cw, has_win, _ = state
             t_cap = jnp.max(jnp.where(
                 alive, jnp.minimum(jnp.minimum(best_ref[:], tmax), leave),
                 -_BIG))
-            b0, b1, c0, c1 = rect_of(k, t_cap)
 
-            # Column segments (<=128 cells: one aligned window each) x
-            # row windows (<=16 rows each). Typical rects are ~3x3, so
-            # both loops run once and the window persists across slices;
-            # `need` refetches only when (k, rect) drifts out of it.
-            # Mosaic cannot read VMEM scalars at dynamic LANE indices, so
-            # per-row run boundaries are extracted as masked lane
-            # reductions into rr[:, 0:2] and read back with dynamic
-            # SUBLANE indices only.
-            nseg = (c1 - c0) // 128 + 1
-            jbase = (b0 // 8) * 8
-            nrw = (b1 - jbase) // BWIN + 1
+            def one_slice(si, kjc):
+                kw, jw, cw, has_win = kjc
+                k = k0s + si * step
+                in_range = (k >= 0) & (k < n_a)
+                b0, b1, c0, c1 = rect_of(k, t_cap)
 
-            def seg_body(cseg, kjc):
-                cc = c0 + cseg * 128
-                ce = jnp.minimum(cc + 127, c1)
+                # Column segments (<=128 cells: one aligned window each)
+                # x row windows (<=16 rows each). Typical rects are ~3x3,
+                # so both loops run once and the window persists across
+                # slices; `need` refetches only when (k, rect) drifts out
+                # of it. Mosaic cannot read VMEM scalars at dynamic LANE
+                # indices, so per-row run boundaries are extracted as
+                # masked lane reductions into rr[:, 0:2] and read back
+                # with dynamic SUBLANE indices only.
+                nseg = jnp.where(in_range, (c1 - c0) // 128 + 1, 0)
+                jbase = (b0 // 8) * 8
+                nrw = (b1 - jbase) // BWIN + 1
 
-                def rw_body(rwi, kjc):
-                    kw, jw, cw, has_win = kjc
-                    jlo = jnp.maximum(b0, jbase + rwi * BWIN)
-                    jhi = jnp.minimum(b1, jbase + rwi * BWIN + BWIN - 1)
-                    need = ((has_win == 0)
-                            | (k < kw) | (k >= kw + SCHUNK)
-                            | (jlo < jw) | (jhi >= jw + BWIN)
-                            | (cc < cw) | (ce + 1 >= cw + CWIN))
-                    nkw = jnp.clip(
-                        jnp.where(step > 0, k, k - (SCHUNK - 1)),
-                        0, jnp.maximum(p_a - SCHUNK, 0))
-                    kw = jnp.where(need, nkw, kw)
-                    jw = jnp.where(need, (jlo // 8) * 8, jw)
-                    cw = jnp.where(need, (cc // 128) * 128, cw)
+                def seg_body(cseg, kjc):
+                    cc = c0 + cseg * 128
+                    ce = jnp.minimum(cc + 127, c1)
 
-                    @pl.when(need)
-                    def _():
-                        fetch_window(kw, jw, cw)
+                    def rw_body(rwi, kjc):
+                        kw, jw, cw, has_win = kjc
+                        jlo = jnp.maximum(b0, jbase + rwi * BWIN)
+                        jhi = jnp.minimum(b1, jbase + rwi * BWIN
+                                          + BWIN - 1)
+                        need = ((has_win == 0)
+                                | (k < kw) | (k >= kw + SCHUNK)
+                                | (jlo < jw) | (jhi >= jw + BWIN)
+                                | (cc < cw) | (ce + 1 >= cw + CWIN))
+                        nkw = jnp.clip(
+                            jnp.where(step > 0, k, k - (SCHUNK - 1)),
+                            0, jnp.maximum(p_a - SCHUNK, 0))
+                        kw = jnp.where(need, nkw, kw)
+                        jw = jnp.where(need, (jlo // 8) * 8, jw)
+                        cw = jnp.where(need, (cc // 128) * 128, cw)
 
-                    # Run boundaries for all window rows at once.
-                    plane = win[k - kw]
-                    r0v = jnp.sum(jnp.where(lane_w == cc - cw, plane, 0),
-                                  axis=1)
-                    r1v = jnp.sum(jnp.where(lane_w == ce + 1 - cw, plane,
-                                            0), axis=1)
-                    rr[:, 0] = r0v
-                    rr[:, 1] = r1v
+                        @pl.when(need)
+                        def _():
+                            fetch_window(kw, jw, cw)
 
-                    # Adaptive span merge: one contiguous run covering
-                    # all rect rows when the inter-row gaps are small
-                    # (gap refs are real triangles of this slice, so
-                    # testing them is conservative-correct and packs
-                    # panels full); per-row runs otherwise (a full span
-                    # across Sponza-like wall rows costs more than the
-                    # sparse panels it saves — measured both ways).
-                    row_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (BWIN, 128), 0)[:, 0:1]
-                    in_rect = ((row_i >= jlo - jw)
-                               & (row_i <= jhi - jw))
-                    runs = jnp.sum(jnp.where(
-                        in_rect, rr[:, 1:2] - rr[:, 0:1], 0))
-                    r0s = rr[jlo - jw, 0]
-                    r1s = rr[jhi - jw, 1]
-                    span = r1s - r0s
-                    merged = span <= jnp.maximum(runs * 2, 192)
+                        # Run boundaries for all window rows at once.
+                        plane = win[k - kw]
+                        r0v = jnp.sum(jnp.where(lane_w == cc - cw, plane,
+                                                0), axis=1)
+                        r1v = jnp.sum(jnp.where(lane_w == ce + 1 - cw,
+                                                plane, 0), axis=1)
+                        rr[:, 0] = r0v
+                        rr[:, 1] = r1v
 
-                    def panels(r0, r1):
-                        def chunk_body(i, _):
-                            a0 = (r0 // RCHUNK + i) * RCHUNK
-                            run_panel(a0, jnp.maximum(r0, a0),
-                                      jnp.minimum(r1, a0 + RCHUNK))
-                            return 0
+                        # Adaptive span merge: one contiguous run
+                        # covering all rect rows when the inter-row gaps
+                        # are small (gap refs are real triangles of this
+                        # slice, so testing them is conservative-correct
+                        # and packs panels full); per-row runs otherwise
+                        # (a full span across Sponza-like wall rows costs
+                        # more than the sparse panels it saves).
+                        row_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (BWIN, 128), 0)[:, 0:1]
+                        in_rect = ((row_i >= jlo - jw)
+                                   & (row_i <= jhi - jw))
+                        runs = jnp.sum(jnp.where(
+                            in_rect, rr[:, 1:2] - rr[:, 0:1], 0))
+                        r0s = rr[jlo - jw, 0]
+                        r1s = rr[jhi - jw, 1]
+                        span = r1s - r0s
+                        merged = span <= jnp.maximum(runs * 2, 192)
 
-                        nch = (r1 - (r0 // RCHUNK) * RCHUNK
-                               + (RCHUNK - 1)) // RCHUNK
-                        jax.lax.fori_loop(0, nch, chunk_body, 0)
+                        def panels(r0, r1):
+                            def chunk_body(i, _):
+                                run_panel((r0 // RCHUNK + i) * RCHUNK)
+                                return 0
 
-                    @pl.when(merged & (runs > 0))
-                    def _():
-                        panels(r0s, r1s)
+                            nch = (r1 - (r0 // RCHUNK) * RCHUNK
+                                   + (RCHUNK - 1)) // RCHUNK
+                            jax.lax.fori_loop(0, nch, chunk_body, 0)
 
-                    @pl.when(~merged)
-                    def _():
-                        def row_body(j, _):
-                            panels(rr[j - jw, 0], rr[j - jw, 1])
-                            return 0
+                        @pl.when(merged & (runs > 0))
+                        def _():
+                            panels(r0s, r1s)
 
-                        jax.lax.fori_loop(jlo, jhi + 1, row_body, 0)
+                        @pl.when(~merged)
+                        def _():
+                            def row_body(j, _):
+                                panels(rr[j - jw, 0], rr[j - jw, 1])
+                                return 0
 
-                    return kw, jw, cw, jnp.int32(1)
+                            jax.lax.fori_loop(jlo, jhi + 1, row_body, 0)
 
-                return jax.lax.fori_loop(0, nrw, rw_body, kjc)
+                        return kw, jw, cw, jnp.int32(1)
+
+                    return jax.lax.fori_loop(0, nrw, rw_body, kjc)
+
+                return jax.lax.fori_loop(0, nseg, seg_body,
+                                         (kw, jw, cw, has_win))
 
             kw, jw, cw, has_win = jax.lax.fori_loop(
-                0, nseg, seg_body, (kw, jw, cw, has_win))
+                0, CHECK, one_slice, (kw, jw, cw, has_win))
 
-            # Early termination: next slice's entry t per ray.
-            kn = k + step
+            # Termination check, once per CHECK slices: entry t of the
+            # next batch's first slice per ray. best_ref is reduced here
+            # (not per panel) — panels only update the lane accumulators.
+            best_ref[:] = jnp.min(acc_t[:], axis=1)
+            kn = k0s + CHECK * step
             plane = lo_a + (jnp.where(step > 0, kn, kn + 1)
                             ).astype(jnp.float32) * cs_a
             t_entry = (plane - o_a) * inv_a
@@ -482,14 +497,14 @@ def _make_kernel(dims, r_cap, any_hit: bool):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "any_hit", "interpret"))
-def _trace_padded(xp, meta, tables, dims, any_hit, interpret):
+                   static_argnames=("dims3", "any_hit", "interpret"))
+def _trace_padded(xp, meta, tables, dims3, any_hit, interpret):
     """Run the kernel over pre-binned, TILE-padded rays. xp f32[Np, 16]."""
     (sx, qx, ix_), (sy, qy, iy_), (sz, qz, iz_) = tables
     n_pad = xp.shape[0]
     n_tiles = n_pad // TILE
     r_cap = qx.shape[1] // 4
-    kernel = _make_kernel(dims, r_cap, any_hit)
+    kernel = _make_kernel(dims3, r_cap, any_hit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -597,9 +612,14 @@ def trace_packet(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     x = rays_to_x(rays.org, rays.dir, rays.tmin, rays.tmax)
     n_pad = (-(-n // TILE) + 6) * TILE
     xp, inv = _bin_rays(x, n_pad)
-    cs = (grid.bbox_hi - grid.bbox_lo) / jnp.asarray(grid.dims, jnp.float32)
-    meta = jnp.concatenate([grid.bbox_lo, cs,
-                            jnp.zeros((2,), jnp.float32)])
+    ext = grid.bbox_hi - grid.bbox_lo
+    css = []
+    for a in range(3):
+        da, db, dc = grid.dims3[a]
+        b, c = (a + 1) % 3, (a + 2) % 3
+        css.append(jnp.stack([ext[a] / da, ext[b] / db, ext[c] / dc]))
+    meta = jnp.concatenate([grid.bbox_lo] + css
+                           + [jnp.zeros((4,), jnp.float32)])
     tables = tuple(grid.axis_tables(a) for a in range(3))
-    out = _trace_padded(xp, meta, tables, grid.dims, any_hit, interpret)
+    out = _trace_padded(xp, meta, tables, grid.dims3, any_hit, interpret)
     return _unbin_hits(out, inv, n)
