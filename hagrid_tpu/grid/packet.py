@@ -36,6 +36,20 @@ This module builds the data structure the kernel consumes:
   and (t, u, v) = (t_num, u_num, v_num) / det — identical to the
   reference's Moller-Trumbore up to f32 reassociation.
 - `refid_<a>` f32[1, R]: triangle id bits (bitcast i32) per ref.
+
+Round 2 adds *row-aligned panels* consumed by ops/sweep_trace.py (the
+planned-sweep tracer). Each grid row (k, j) of cells gets its refs
+chopped into ceil(rc/128) panels of 128 (the last panel of a row is
+zero-padded), so a panel never straddles rows or slices and is exactly
+addressable by column: the `qc1`/`qc2` tables map (k, j, c) to the
+panel of the first ref at column >= c / the last ref at column < c.
+The tracer's XLA planning phase turns a frustum rect into contiguous
+panel-id RANGES with two gathers per rect row — no per-panel masks, no
+device-wide scatters. `reft` holds the classic Moller-Trumbore inputs
+(v0, e1, e2, id bits) column-per-ref so the sweep kernel can run
+exact-f32 MT on the VPU; all three layouts are concatenated panel-wise
+(layout a's panels at [a*P_cap, (a+1)*P_cap)) so one BlockSpec serves
+every item.
 """
 
 from __future__ import annotations
@@ -98,8 +112,25 @@ class PacketGrid:
     refid_x: jnp.ndarray   # f32[1, R_cap] (i32 id bits)
     refid_y: jnp.ndarray
     refid_z: jnp.ndarray
+    # Sweep-tracer tables (all three layouts concatenated panel-wise;
+    # P_cap = R_cap // 128 + max_rows panels per layout, 3*P_cap total):
+    # reft f32[16, 128*3*P_cap]: classic MT columns per (row-aligned)
+    # panel slot — rows 0:3 v0, 3:6 e1, 6:9 e2, row 9 tri-id bits,
+    # rows 10:16 zero. Dead slots are all-zero (det = 0, never hit).
+    reft: jnp.ndarray
+    # qc1/qc2 i32[sum_a Da*Db*(Dc+1)]: flattened per-layout tables of
+    # GLOBAL panel ids (layout offset folded in). qc1[k,j,c] = panel of
+    # the first ref of row (k,j) at column >= c; qc2[k,j,c] = panel of
+    # the last ref at column < c. A rect's panels in row (k,j) are the
+    # contiguous range [qc1[k,j,c0], qc2[k,j,c1+1]] (empty if reversed).
+    qc1: jnp.ndarray
+    qc2: jnp.ndarray
     total_refs: jnp.ndarray  # i32[]
     tris: Triangles
+
+    @property
+    def panels_per_layout(self) -> int:
+        return self.reft.shape[1] // (3 * 128)
 
     @property
     def num_cells(self) -> int:
@@ -150,6 +181,9 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
     """Bin tris into each layout's (independent) grid and emit the three
     slice-major tables."""
     bq = mt_matmul_columns(tris)  # [T, 4, 12]
+    # Shared panel capacity so layout a's panels live at a fixed offset
+    # a * p_cap: worst case one padded partial panel per grid row.
+    max_rows = max(d[0] * d[1] for d in dims3)
 
     outs = []
     totals = []
@@ -184,6 +218,40 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
             starts3, ((0, max(PAD_A - da, 0)), (0, pad_b(db) - db),
                       (0, pad_c1(dc + 1) - (dc + 1))), mode="edge")
         live = jnp.arange(ref_capacity) < total
+
+        # --- Sweep-tracer tables: row-aligned panels + qcol ranges ---
+        nrows = da * db
+        row_start = starts[::dc]                      # i32[nrows + 1]
+        rc = row_start[1:] - row_start[:-1]           # refs per row
+        pc = -(-rc // 128)                            # panels per row
+        pbase = jnp.cumsum(pc) - pc                   # exclusive scan
+        p_cap = ref_capacity // 128 + max_rows
+        # qcol: panel id per (row, boundary column).
+        s_log = jnp.concatenate(
+            [starts[:num_cells].reshape(nrows, dc),
+             row_start[1:, None]], axis=1)            # i32[nrows, dc+1]
+        rel = s_log - row_start[:-1, None]
+        qc1 = (pbase[:, None] + rel // 128 + axis * p_cap).reshape(-1)
+        qc2 = (pbase[:, None] + (rel - 1) // 128 + axis * p_cap
+               ).reshape(-1)
+        # Per-ref classic MT columns, gathered into padded panel slots.
+        colsT = jnp.concatenate(
+            [jnp.where(live[:, None], tris.v0[srefs], 0.0),
+             jnp.where(live[:, None], tris.e1[srefs], 0.0),
+             jnp.where(live[:, None], tris.e2[srefs], 0.0),
+             jax.lax.bitcast_convert_type(
+                 jnp.where(live, srefs, -1).astype(jnp.int32),
+                 jnp.float32)[:, None],
+             jnp.zeros((ref_capacity, 6), jnp.float32)], axis=1)
+        row_of_p, q, pvalid, _ = expand_by_counts(pc, p_cap)
+        base = row_start[:-1][row_of_p] + q * 128     # i32[p_cap]
+        idx = base[:, None] + jnp.arange(128, dtype=jnp.int32)[None, :]
+        lane_live = (pvalid[:, None]
+                     & (idx < (row_start[:-1] + rc)[row_of_p][:, None]))
+        idxc = jnp.clip(idx, 0, ref_capacity - 1).reshape(-1)
+        reft = jnp.where(lane_live.reshape(-1)[:, None],
+                         colsT[idxc], 0.0).T           # [16, p_cap*128]
+
         # Dead tail rows: all-zero columns give det = 0 -> never a hit.
         refq = jnp.where(live[:, None, None], bq[srefs], 0.0)  # [R, 4, 12]
         # Block per 128 refs as [t|det|u|v] column groups: one K=12 MXU
@@ -198,9 +266,13 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
         refid = jax.lax.bitcast_convert_type(
             jnp.where(live, srefs, -1).astype(jnp.int32),
             jnp.float32)[None, :]
-        outs.append((starts3, refq, refid))
+        outs.append((starts3, refq, refid, reft, qc1, qc2))
         totals.append(total)
-    return outs, jnp.max(jnp.stack(totals))
+    reft_all = jnp.concatenate([o[3] for o in outs], axis=1)
+    qc1_all = jnp.concatenate([o[4] for o in outs])
+    qc2_all = jnp.concatenate([o[5] for o in outs])
+    outs = [o[:3] for o in outs]
+    return outs, reft_all, qc1_all, qc2_all, jnp.max(jnp.stack(totals))
 
 
 def build_packet(tris: Triangles, cross_density: float = 0.4,
@@ -218,12 +290,19 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         z3 = jnp.zeros((PAD_A, pad_b(1), pad_c1(2)), jnp.int32)
         zq = jnp.zeros((16, 4 * 256), jnp.float32)
         zi = jnp.zeros((1, 256), jnp.float32)
+        p_cap = 256 // 128 + 1
+        zt = jnp.zeros((16, 3 * p_cap * 128), jnp.float32)
+        # Empty rows: qc2 < qc1 -> every range is empty.
+        zq1 = jnp.tile(jnp.arange(3, dtype=jnp.int32)[:, None] * p_cap,
+                       (1, 2)).reshape(-1)
+        zq2 = zq1 - 1
         d3 = ((1, 1, 1),) * 3
         return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           starts_x=z3, starts_y=z3, starts_z=z3,
                           refq_x=zq, refq_y=zq, refq_z=zq,
                           refid_x=zi, refid_y=zi, refid_z=zi,
+                          reft=zt, qc1=zq1, qc2=zq2,
                           total_refs=jnp.int32(0), tris=tris)
     tlo, thi = jax.device_get(tris.bounds())
     lo = tlo.min(0)
@@ -242,12 +321,13 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
             (dims[a], dims[(a + 1) % 3], dims[(a + 2) % 3])
             for a in range(3))
     if ref_capacity is None:
-        ref_capacity = max(1024, int(tris.count * 4))
+        ref_capacity = max(1024, int(tris.count * 2))
     ref_capacity = -(-ref_capacity // 256) * 256
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
-        outs, total = _build(tris, bbox_lo, bbox_hi, dims3, ref_capacity)
+        outs, reft, qc1, qc2, total = _build(tris, bbox_lo, bbox_hi,
+                                             dims3, ref_capacity)
         t = int(jax.device_get(total))
         if t <= ref_capacity:
             break
@@ -257,4 +337,5 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                       starts_x=sx, starts_y=sy, starts_z=sz,
                       refq_x=qx, refq_y=qy, refq_z=qz,
                       refid_x=ix, refid_y=iy, refid_z=iz,
+                      reft=reft, qc1=qc1, qc2=qc2,
                       total_refs=total, tris=tris)
