@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--workload", default="primary",
                     choices=("primary", "ao", "path", "dynamic"),
                     help="BASELINE.json config to run")
+    ap.add_argument("--structure", default="packet",
+                    choices=("packet", "irregular", "uniform"),
+                    help="acceleration structure / tracer path")
     args = ap.parse_args()
 
     from hagrid_tpu import scenes
@@ -77,15 +80,16 @@ def main():
 
     from hagrid_tpu.utils.config import BuildParams
 
-    if scene_name == "san_miguel":
+    if scene_name == "san_miguel" and args.structure == "irregular":
         # Foliage-heavy scene: a finer grid explodes ref counts/HBM.
         params = BuildParams(levels=2, snd_density=1.0, top_density=0.08)
-    elif args.workload == "dynamic":
+    elif args.workload == "dynamic" and args.structure == "irregular":
         params = BuildParams.dynamic()  # rebuild-dominated workload
     else:
         params = BuildParams()
     tris = Triangles.from_mesh(v, f)
-    session = RenderSession.create(tris, params)
+    session = RenderSession.create(tris, params,
+                                   structure=args.structure, verts=v)
 
     # --- build benchmark -------------------------------------------------
     build_s = timed(session.rebuild, tris, warmup=1, iters=max(2, iters))
@@ -96,6 +100,7 @@ def main():
         "rebuild_ms": round(build_s * 1e3, 2),
         "tris": int(len(f)),
         "device": str(dev),
+        "structure": args.structure,
         "grid": session.describe(),
     }
 
@@ -167,6 +172,11 @@ def main():
         fps = n_frames / (time.perf_counter() - t0)
         log(f"dynamic {w}x{h}: {fps:.2f} fps (rebuild+trace per frame)")
         metric, value = f"dynamic_fps_{scene_name}", fps
+
+    if args.structure == "packet":
+        # Deferred validity checks (the hot path never reads back).
+        assert not bool(jax.device_get(session.grid.overflowed)), \
+            "packet grid ref capacity overflowed; raise ref_capacity"
 
     print(json.dumps({
         "metric": metric,

@@ -42,8 +42,9 @@ def _common(ap: argparse.ArgumentParser):
     ap.add_argument("--levels", type=int, default=3, choices=range(0, 8),
                     help="max per-cell subdivision log2 (0..7: the packed "
                          "top_info word keeps 3 bits for it)")
-    ap.add_argument("--structure", choices=("irregular", "uniform"),
-                    default="irregular")
+    ap.add_argument("--structure",
+                    choices=("packet", "irregular", "uniform"),
+                    default="packet")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu|tpu)")
 
@@ -80,7 +81,8 @@ def _setup(args):
                          snd_density=args.snd_density, alpha=args.alpha,
                          expansion_passes=args.expansion_passes,
                          merge_passes=args.merge_passes, levels=args.levels)
-    session = RenderSession.create(tris, params, structure=args.structure)
+    session = RenderSession.create(tris, params,
+                                   structure=args.structure, verts=v)
     return session, cam, tris
 
 

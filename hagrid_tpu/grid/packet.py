@@ -133,6 +133,17 @@ class PacketGrid:
         return self.reft.shape[1] // (3 * 128)
 
     @property
+    def ref_capacity(self) -> int:
+        max_rows = max(d[0] * d[1] for d in self.dims3)
+        return (self.panels_per_layout - max_rows) * 128
+
+    @property
+    def overflowed(self):
+        """Device bool: per-layout refs exceeded capacity (only possible
+        when built with check=False); hits may then be missed."""
+        return self.total_refs > self.ref_capacity
+
+    @property
     def num_cells(self) -> int:
         return int(np.prod(self.dims3[0]))
 
@@ -176,11 +187,15 @@ def _axis_order(axis: int):
     return axis, (axis + 1) % 3, (axis + 2) % 3
 
 
-@functools.partial(jax.jit, static_argnames=("dims3", "ref_capacity"))
-def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
+@functools.partial(jax.jit, static_argnames=("dims3", "ref_capacity",
+                                             "march_tables"))
+def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
+           march_tables=False):
     """Bin tris into each layout's (independent) grid and emit the three
-    slice-major tables."""
-    bq = mt_matmul_columns(tris)  # [T, 4, 12]
+    slice-major tables. march_tables=True additionally emits the legacy
+    in-kernel-march tables (starts3/refq/refid for ops/packet_trace.py);
+    the default builds only what the sweep tracer needs."""
+    bq = mt_matmul_columns(tris) if march_tables else None
     # Shared panel capacity so layout a's panels live at a fixed offset
     # a * p_cap: worst case one padded partial panel per grid row.
     max_rows = max(d[0] * d[1] for d in dims3)
@@ -210,13 +225,6 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
         key = jnp.where(valid, key, num_cells)
         skeys, srefs = sort_pairs(key, jnp.where(valid, tri_idx, 0))
         starts = segment_starts(skeys, num_cells)  # i32[C+1]
-        s3 = starts[:num_cells].reshape(da, db, dc)
-        # Row (k, j) closes at the next row's start (global monotonicity).
-        end_col = starts[dc::dc].reshape(da, db, 1)
-        starts3 = jnp.concatenate([s3, end_col], axis=2)
-        starts3 = jnp.pad(
-            starts3, ((0, max(PAD_A - da, 0)), (0, pad_b(db) - db),
-                      (0, pad_c1(dc + 1) - (dc + 1))), mode="edge")
         live = jnp.arange(ref_capacity) < total
 
         # --- Sweep-tracer tables: row-aligned panels + qcol ranges ---
@@ -252,20 +260,32 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
         reft = jnp.where(lane_live.reshape(-1)[:, None],
                          colsT[idxc], 0.0).T           # [16, p_cap*128]
 
-        # Dead tail rows: all-zero columns give det = 0 -> never a hit.
-        refq = jnp.where(live[:, None, None], bq[srefs], 0.0)  # [R, 4, 12]
-        # Block per 128 refs as [t|det|u|v] column groups: one K=12 MXU
-        # contraction per panel covers all four quantities.
-        refq = (refq.reshape(ref_capacity // 128, 128, 4, 12)
-                .transpose(3, 0, 2, 1)          # [12, R/128, 4, 128]
-                .reshape(12, 4 * ref_capacity))
-        # Pad to 16 rows (sublane tiling) with zeros; X cols 12:16 are
-        # [tmin, clamped tmax, 0, 0], so the extra terms contribute 0.
-        refq = jnp.pad(refq, ((0, 4), (0, 0)))
-        # (1, R): Mosaic rejects dynamic-offset DMAs on 1-D arrays.
-        refid = jax.lax.bitcast_convert_type(
-            jnp.where(live, srefs, -1).astype(jnp.int32),
-            jnp.float32)[None, :]
+        if march_tables:
+            s3 = starts[:num_cells].reshape(da, db, dc)
+            # Row (k, j) closes at the next row's start (monotonicity).
+            end_col = starts[dc::dc].reshape(da, db, 1)
+            starts3 = jnp.concatenate([s3, end_col], axis=2)
+            starts3 = jnp.pad(
+                starts3, ((0, max(PAD_A - da, 0)), (0, pad_b(db) - db),
+                          (0, pad_c1(dc + 1) - (dc + 1))), mode="edge")
+            # Dead tail rows: all-zero columns -> det = 0 -> no hit.
+            refq = jnp.where(live[:, None, None], bq[srefs], 0.0)
+            # Block per 128 refs as [t|det|u|v] column groups: one K=12
+            # MXU contraction per panel covers all four quantities.
+            refq = (refq.reshape(ref_capacity // 128, 128, 4, 12)
+                    .transpose(3, 0, 2, 1)      # [12, R/128, 4, 128]
+                    .reshape(12, 4 * ref_capacity))
+            # Pad to 16 rows (sublane tiling); X cols 12:16 contribute 0.
+            refq = jnp.pad(refq, ((0, 4), (0, 0)))
+            # (1, R): Mosaic rejects dynamic-offset DMAs on 1-D arrays.
+            refid = jax.lax.bitcast_convert_type(
+                jnp.where(live, srefs, -1).astype(jnp.int32),
+                jnp.float32)[None, :]
+        else:
+            starts3 = jnp.zeros((PAD_A, pad_b(db), pad_c1(dc + 1)),
+                                jnp.int32)
+            refq = jnp.zeros((16, 4 * 128), jnp.float32)
+            refid = jnp.zeros((1, 128), jnp.float32)
         outs.append((starts3, refq, refid, reft, qc1, qc2))
         totals.append(total)
     reft_all = jnp.concatenate([o[3] for o in outs], axis=1)
@@ -278,14 +298,23 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
 def build_packet(tris: Triangles, cross_density: float = 0.4,
                  slice_density: float = 0.02,
                  ref_capacity: int | None = None,
-                 dims: tuple | None = None) -> PacketGrid:
+                 dims: tuple | None = None,
+                 dims3: tuple | None = None,
+                 bbox=None, check: bool = True,
+                 march_tables: bool = False) -> PacketGrid:
     """Host wrapper: static dims/capacity from the density heuristic,
     retry on overflow (same capacity policy as the other builders).
 
     Each layout gets an ANISOTROPIC grid: slice_density sets the (coarse)
     resolution along its march axis — few slices, each a thick slab —
     and cross_density the (fine) cross-section — tight frustum rects.
-    `dims` forces one isotropic grid for all three layouts (tests)."""
+    `dims` forces one isotropic grid for all three layouts (tests);
+    `dims3` forces exact per-layout dims (per-frame rebuilds).
+
+    Device->host reads permanently degrade this environment's dispatch
+    path (see docs/ARCHITECTURE.md), so per-frame rebuilds should pass
+    `bbox` (host floats) and `check=False` with a capacity sized by the
+    first frame; overflow is then detectable via grid.overflowed."""
     if tris.count == 0:
         z3 = jnp.zeros((PAD_A, pad_b(1), pad_c1(2)), jnp.int32)
         zq = jnp.zeros((16, 4 * 256), jnp.float32)
@@ -304,13 +333,19 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                           refid_x=zi, refid_y=zi, refid_z=zi,
                           reft=zt, qc1=zq1, qc2=zq2,
                           total_refs=jnp.int32(0), tris=tris)
-    tlo, thi = jax.device_get(tris.bounds())
-    lo = tlo.min(0)
-    hi = thi.max(0)
+    if bbox is not None:
+        lo, hi = np.asarray(bbox[0], np.float32), np.asarray(bbox[1],
+                                                             np.float32)
+    else:
+        tlo, thi = jax.device_get(tris.bounds())
+        lo = tlo.min(0)
+        hi = thi.max(0)
     pad = (hi - lo) * 1e-4 + 1e-4
     lo = lo - pad
     hi = hi + pad
-    if dims is None:
+    if dims3 is not None:
+        pass
+    elif dims is None:
         cross = density_dims(hi - lo, tris.count, cross_density)
         slab = density_dims(hi - lo, tris.count, slice_density)
         dims3 = tuple(
@@ -327,7 +362,10 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
         outs, reft, qc1, qc2, total = _build(tris, bbox_lo, bbox_hi,
-                                             dims3, ref_capacity)
+                                             dims3, ref_capacity,
+                                             march_tables)
+        if not check:
+            break
         t = int(jax.device_get(total))
         if t <= ref_capacity:
             break

@@ -14,7 +14,13 @@ import numpy as np
 
 from ..core.types import Triangles
 from ..grid.irregular import IrregularGrid
+from ..grid.packet import PacketGrid
 from ..grid.uniform import UniformGrid
+
+_PACKET_FIELDS = ("bbox_lo", "bbox_hi", "starts_x", "starts_y",
+                  "starts_z", "refq_x", "refq_y", "refq_z", "refid_x",
+                  "refid_y", "refid_z", "reft", "qc1", "qc2",
+                  "total_refs")
 
 
 def save_grid(path: str, grid) -> None:
@@ -22,7 +28,11 @@ def save_grid(path: str, grid) -> None:
 
     arrays = {}
     meta = {}
-    if isinstance(grid, IrregularGrid):
+    if isinstance(grid, PacketGrid):
+        meta["kind"] = "packet"
+        meta["dims3"] = [list(d) for d in grid.dims3]
+        fields = _PACKET_FIELDS
+    elif isinstance(grid, IrregularGrid):
         meta["kind"] = "irregular"
         meta["top_dims"] = grid.top_dims
         meta["levels"] = grid.levels
@@ -57,6 +67,9 @@ def load_grid(path: str):
                      n=jnp.asarray(z["tri_n"]))
     a = {k: jnp.asarray(v) for k, v in z.items()
          if not k.startswith(("tri_", "__"))}
+    if meta["kind"] == "packet":
+        return PacketGrid(dims3=tuple(tuple(d) for d in meta["dims3"]),
+                          tris=tris, **a)
     if meta["kind"] == "irregular":
         return IrregularGrid(top_dims=tuple(meta["top_dims"]),
                              levels=int(meta["levels"]), tris=tris, **a)

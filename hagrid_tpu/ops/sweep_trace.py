@@ -10,27 +10,31 @@ design hoists ALL control flow out of the kernel:
    TILE-sized packets by (major axis, sign), Morton/image coherent. Per
    round, each live tile advances one SLAB of S slices along its major
    axis; the tile's frustum rect per slice (pure interval arithmetic on
-   8 per-tile scalars) is intersected against the build-time *panel
-   directory* (grid/packet.py: bounding cell ranges of each 128-ref
-   panel). The result is a compacted, tile-major item list
-   (tile_id, panel_id) — dense boolean ops and one cumsum, no gathers.
+   per-tile scalars) is turned into contiguous panel-id RANGES via the
+   build-time qcol tables (grid/packet.py) — two gathers per rect row,
+   one expand_by_counts, no device-wide scatters. Rects are also
+   computed per quarter-tile; each range carries a 4-bit subtile mask
+   so the kernel can skip ray quarters that cannot see the panel.
 
-2. **Pallas sweep kernel (zero scalar control).** grid = (n_items,);
-   scalar-prefetched item arrays drive the BlockSpec index maps, so the
-   pipeline DMAs each tile's rays (revisits are free) and each panel's
-   16x128 triangle block (double-buffered automatically). The body is
-   one dense exact-f32 Moller-Trumbore of TILE rays x 128 tris on the
-   VPU plus lane-accumulator updates; per-tile results flush when the
-   item stream moves to the next tile.
+2. **Pallas sweep kernel (zero scalar control).** grid = (n_items,),
+   DYNAMIC — sized by the traced item count, so empty rounds and slack
+   cost nothing. Scalar-prefetched item arrays drive the BlockSpec
+   index maps (tile revisits are free; panel blocks double-buffer
+   automatically). The body is dense exact-f32 Moller-Trumbore of the
+   masked ray quarters x 128 tris on the VPU plus lane-accumulator
+   updates; per-tile results flush when the item stream moves on.
 
-3. **Host round loop.** Per-ray best hits merge after each slab; rays
-   terminate when their best hit precedes the next slab's entry plane
-   (the standard grid early-out), shrinking both the live-tile set and
-   (through t_cap) the frustum rects of the tiles that remain.
+3. **Device-side round loop.** The whole frame — every round's plan,
+   expand, sweep, merge — is ONE jitted computation with ZERO
+   device->host reads: on this environment a single D2H read
+   permanently degrades every later dispatch (measured ~24 ms/sync,
+   see memory notes), so rounds are statically unrolled and the item
+   budget is a static capacity with an overflow flag checked once at
+   the end of the frame, not a host-sized bucket.
 
 Numerics: the VPU path is plain f32 — exact parity with the oracle,
 unlike bf16 MXU passes (round 1 measured ~1% flipped hits at DEFAULT
-precision and 2x the panel cost at HIGH vs this VPU form).
+precision; 3-pass HIGH costs more than the 33-op VPU form).
 """
 
 from __future__ import annotations
@@ -48,41 +52,49 @@ from .segment import expand_by_counts
 
 _BIG = 3e38
 _BIGID = 2 ** 30
+_SUB = 4        # ray quarters per tile (subtile mask granularity)
+_RMAX = 8       # c-trimmed row ranges per (tile, slice); taller rects
+#                 fall back to one untrimmed multi-row tail range.
+_CHUNK = 131072  # items per pallas_call (1 x 512K SMEM prefetch)
+# Item encoding: one i32 per item — (tile << 20) | (panel << 4) | mask.
+# tile < 4096 (dummy tile included), panel < 65536, 4-bit subtile mask.
+_TSHIFT = 20
+_PSHIFT = 4
 
 
 # ----------------------------------------------------------------------
 # Kernel
 # ----------------------------------------------------------------------
 
-def _make_kernel(tile: int):
-    def kernel(tile_of, panel_of, x_ref, reft_ref, out_ref,
+def _tile_bits(item):
+    return jax.lax.shift_right_logical(item, _TSHIFT)
+
+
+def _make_kernel(tile: int, nt: int):
+    sub = tile // _SUB
+
+    def kernel(items, x_ref, reft_ref, out_ref,
                acc_t, acc_id, acc_u, acc_v):
         i = pl.program_id(0)
         n = pl.num_programs(0)
+        t_cur = _tile_bits(items[i])
+        mask = items[i] & 15
         # First/last item of this tile's run, derived from neighbors
-        # (prefetched arrays live in 1M SMEM — every extra array counts).
-        t_cur = tile_of[i]
-        first = (i == 0) | (t_cur != tile_of[jnp.maximum(i - 1, 0)])
-        last = (i == n - 1) | (t_cur != tile_of[jnp.minimum(i + 1, n - 1)])
+        # (prefetched arrays live in 1M SMEM — every array counts, so
+        # tile/panel/mask share one packed i32).
+        first = (i == 0) | (t_cur != _tile_bits(items[jnp.maximum(
+            i - 1, 0)]))
+        last = (i == n - 1) | (t_cur != _tile_bits(items[jnp.minimum(
+            i + 1, n - 1)]))
 
-        @pl.when(first)
+        @pl.when(first & (t_cur < nt))
         def _():
             acc_t[:] = jnp.full((tile, 128), _BIG, jnp.float32)
             acc_id[:] = jnp.full((tile, 128), -1.0, jnp.float32)
             acc_u[:] = jnp.zeros((tile, 128), jnp.float32)
             acc_v[:] = jnp.zeros((tile, 128), jnp.float32)
 
-        # Dense Moller-Trumbore: rays down the sublanes, tris across the
-        # lanes. All operands broadcast from (tile, 1) x (1, 128).
-        ox = x_ref[:, 1:2]
-        oy = x_ref[:, 2:3]
-        oz = x_ref[:, 3:4]
-        dx = x_ref[:, 4:5]
-        dy = x_ref[:, 5:6]
-        dz = x_ref[:, 6:7]
-        tmin = x_ref[:, 12:13]
-        tmax = x_ref[:, 13:14]
-
+        # Per-panel triangle rows, broadcast across lanes.
         v0x = reft_ref[0:1, :]
         v0y = reft_ref[1:2, :]
         v0z = reft_ref[2:3, :]
@@ -94,43 +106,57 @@ def _make_kernel(tile: int):
         e2z = reft_ref[8:9, :]
         ids = reft_ref[9:10, :]
 
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        uu = tvx * pvx + tvy * pvy + tvz * pvz
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        vv = dx * qvx + dy * qvy + dz * qvz
-        tt = e2x * qvx + e2y * qvy + e2z * qvz
-        inv = 1.0 / det          # det = 0 -> inf/NaN, self-filtered
-        t = tt * inv
-        u = uu * inv
-        v = vv * inv
-        # min-form barycentric test; NaN/inf compare false. The eps
-        # guard keeps near-parallel slivers from phantom far hits.
-        edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
-        ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
-              & (t > tmin) & (t < tmax))
-        better = ok & (t < acc_t[:])
-        acc_t[:] = jnp.where(better, t, acc_t[:])
-        acc_id[:] = jnp.where(better,
-                              jnp.broadcast_to(ids, (tile, 128)),
-                              acc_id[:])
-        acc_u[:] = jnp.where(better, u, acc_u[:])
-        acc_v[:] = jnp.where(better, v, acc_v[:])
+        def mt_quarter(s):
+            r0, r1 = s * sub, (s + 1) * sub
+            ox = x_ref[r0:r1, 1:2]
+            oy = x_ref[r0:r1, 2:3]
+            oz = x_ref[r0:r1, 3:4]
+            dx = x_ref[r0:r1, 4:5]
+            dy = x_ref[r0:r1, 5:6]
+            dz = x_ref[r0:r1, 6:7]
+            tmin = x_ref[r0:r1, 12:13]
+            tmax = x_ref[r0:r1, 13:14]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uu = tvx * pvx + tvy * pvy + tvz * pvz
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = dx * qvx + dy * qvy + dz * qvz
+            tt = e2x * qvx + e2y * qvy + e2z * qvz
+            inv = 1.0 / det      # det = 0 -> inf/NaN, self-filtered
+            t = tt * inv
+            u = uu * inv
+            v = vv * inv
+            # min-form barycentric test; NaN/inf compare false. The eps
+            # guard keeps near-parallel slivers from phantom far hits.
+            edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+            ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
+                  & (t > tmin) & (t < tmax))
+            better = ok & (t < acc_t[r0:r1])
+            acc_t[r0:r1] = jnp.where(better, t, acc_t[r0:r1])
+            acc_id[r0:r1] = jnp.where(
+                better, jnp.broadcast_to(ids, (sub, 128)), acc_id[r0:r1])
+            acc_u[r0:r1] = jnp.where(better, u, acc_u[r0:r1])
+            acc_v[r0:r1] = jnp.where(better, v, acc_v[r0:r1])
 
-        @pl.when(last)
+        for s in range(_SUB):
+            @pl.when(((mask >> s) & 1) != 0)
+            def _(s=s):
+                mt_quarter(s)
+
+        @pl.when(last & (t_cur < nt))
         def _():
             bt = jnp.min(acc_t[:], axis=1)
             at_min = acc_t[:] == bt[:, None]
             idi = jax.lax.bitcast_convert_type(acc_id[:], jnp.int32)
-            id_min = jnp.min(jnp.where(at_min & (idi >= 0), idi, _BIGID),
-                             axis=1)
+            id_min = jnp.min(jnp.where(at_min & (idi >= 0), idi,
+                                       _BIGID), axis=1)
             sel = at_min & (idi == id_min[:, None])
             u_best = jnp.max(jnp.where(sel, acc_u[:], -_BIG), axis=1)
             v_best = jnp.max(jnp.where(sel, acc_v[:], -_BIG), axis=1)
@@ -144,23 +170,33 @@ def _make_kernel(tile: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def _sweep(xp_ext, reft, tile_of, panel_of, tile, interpret):
-    """Run the item sweep. xp_ext f32[(nt+1)*tile, 16] (last tile dead);
-    item arrays i32[n_items]. Returns f32[(nt+1)*tile, 8]; only tiles
-    that appear in the item stream carry defined rows."""
+def _sweep(xp_ext, reft, items, n_i, tile, interpret):
+    """One item-chunk sweep. n_i is the TRACED number of live items
+    (dynamic grid); items past n_i are never executed. In interpret
+    mode the grid must be concrete, so the full chunk runs and dead
+    items (tile bits == nt) are skipped by the kernel's pl.when
+    guards."""
     n_rows = xp_ext.shape[0]
-    n_items = tile_of.shape[0]
+    nt = n_rows // tile - 1
+    n_items = items.shape[0]
+    grid = (n_items,) if interpret else (n_i,)
+
+    def panel_bits(v):
+        return jax.lax.shift_right_logical(v, _PSHIFT) & 0xFFFF
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_items,),
+        num_scalar_prefetch=1,
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, 16), lambda i, t, p: (t[i], 0),
+            pl.BlockSpec((tile, 16), lambda i, it: (_tile_bits(it[i]),
+                                                    0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda i, t, p: (0, p[i]),
+            pl.BlockSpec((16, 128), lambda i, it: (0,
+                                                   panel_bits(it[i])),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 8), lambda i, t, p: (t[i], 0),
+        out_specs=pl.BlockSpec((tile, 8),
+                               lambda i, it: (_tile_bits(it[i]), 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, 128), jnp.float32),
@@ -170,11 +206,11 @@ def _sweep(xp_ext, reft, tile_of, panel_of, tile, interpret):
         ],
     )
     return pl.pallas_call(
-        _make_kernel(tile),
+        _make_kernel(tile, nt),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_of, panel_of, xp_ext, reft)
+    )(items, xp_ext, reft)
 
 
 # ----------------------------------------------------------------------
@@ -217,7 +253,7 @@ def _bin_rays(x, n_pad, tile):
 
 
 def _tile_tabs(grid: PacketGrid):
-    """Per-layout (cs, dims) tables in (slice, row, col) order."""
+    """Per-layout (cs, dims, lo) tables in (slice, row, col) order."""
     ext = grid.bbox_hi - grid.bbox_lo
     cs_rows, n_rows, lo_rows = [], [], []
     for a in range(3):
@@ -300,22 +336,16 @@ def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile):
 
 
 # ----------------------------------------------------------------------
-# Round planning (all XLA)
+# Round planning (all XLA, inside the frame jit)
 # ----------------------------------------------------------------------
 
-_RMAX = 8  # c-trimmed row ranges per (tile, slice); taller rects fall
-#            back to one untrimmed multi-row tail range (conservative).
-
-
-@functools.partial(jax.jit, static_argnames=("dims3", "slab", "any_hit"))
 def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
           best_t, dims3, slab, any_hit):
-    """One slab's plan: per-tile frustum rect per slice, turned into
-    contiguous panel-id ranges via the qcol tables (2 gathers per rect
-    row). Returns (range_start, range_count [nt*slab*(RMAX+1)],
-    n_items, any_live)."""
+    """One slab's plan. Returns (range_start*16+submask, range_count)
+    flattened over (tile, slice, RMAX row slots + 1 tail slot)."""
     axis = per_tile["axis"]
     step = per_tile["step"]
+    nt = axis.shape[0]
     cs_a = cs_tab[axis, 0]
     cs_b = cs_tab[axis, 1]
     cs_c = cs_tab[axis, 2]
@@ -337,61 +367,81 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
     live = per_ray["alive"] & ~done & (t_entry < lim) \
         & (ka[:, None] >= 0) & (ka[:, None] < n_a[:, None])
 
-    def mn(v):
-        return jnp.min(jnp.where(live, v, _BIG), axis=1)
+    # Frustum bounds per QUARTER tile (rays are Morton-ordered, so
+    # quarters are spatially coherent); full-tile bounds are the union.
+    def q(v):  # (nt, tile) -> (nt, SUB, tile/SUB)
+        return v.reshape(nt, _SUB, -1)
 
-    def mx(v):
-        return jnp.max(jnp.where(live, v, -_BIG), axis=1)
+    liveq = q(live)
 
-    ob_lo, ob_hi = mn(per_ray["o_b"]), mx(per_ray["o_b"])
-    oc_lo, oc_hi = mn(per_ray["o_c"]), mx(per_ray["o_c"])
-    db_lo, db_hi = mn(per_ray["d_b"]), mx(per_ray["d_b"])
-    dc_lo, dc_hi = mn(per_ray["d_c"]), mx(per_ray["d_c"])
-    oa_lo, oa_hi = mn(per_ray["o_a"]), mx(per_ray["o_a"])
-    ia_lo, ia_hi = mn(per_ray["inv_a"]), mx(per_ray["inv_a"])
-    t_lo0 = jnp.maximum(mn(per_ray["enter"]), 0.0)
-    t_cap = mx(jnp.minimum(jnp.minimum(best_t, per_ray["tmax"]),
-                           per_ray["leave"]))
+    def mnq(v):
+        return jnp.min(jnp.where(liveq, q(v), _BIG), axis=2)
+
+    def mxq(v):
+        return jnp.max(jnp.where(liveq, q(v), -_BIG), axis=2)
+
+    ob_lo, ob_hi = mnq(per_ray["o_b"]), mxq(per_ray["o_b"])
+    oc_lo, oc_hi = mnq(per_ray["o_c"]), mxq(per_ray["o_c"])
+    db_lo, db_hi = mnq(per_ray["d_b"]), mxq(per_ray["d_b"])
+    dc_lo, dc_hi = mnq(per_ray["d_c"]), mxq(per_ray["d_c"])
+    oa_lo, oa_hi = mnq(per_ray["o_a"]), mxq(per_ray["o_a"])
+    ia_lo, ia_hi = mnq(per_ray["inv_a"]), mxq(per_ray["inv_a"])
+    t_lo0 = jnp.maximum(mnq(per_ray["enter"]), 0.0)
+    t_cap = mxq(jnp.minimum(jnp.minimum(best_t, per_ray["tmax"]),
+                            per_ray["leave"]))
     live_tile = jnp.any(live, axis=1)
 
-    # Slab slices: (nt, S).
+    # Slab slices: (nt, S); per-quarter per-slice t range and rect.
     ks = ka[:, None] + step[:, None] * jnp.arange(slab, dtype=jnp.int32)
     k_ok = (ks >= 0) & (ks < n_a[:, None]) & live_tile[:, None]
-
     kf = ks.astype(jnp.float32)
-    pl0 = lo_a[:, None] + kf * cs_a[:, None]
+    pl0 = lo_a[:, None] + kf * cs_a[:, None]           # (nt, S)
     pl1 = pl0 + cs_a[:, None]
-    cands = []
-    for p in (pl0, pl1):
+
+    def tq(p):  # (nt,S) plane x (nt,SUB) bounds -> (nt,SUB,S)
+        cands = []
         for oe in (oa_lo, oa_hi):
             for ie in (ia_lo, ia_hi):
-                cands.append((p - oe[:, None]) * ie[:, None])
+                cands.append((p[:, None, :] - oe[:, :, None])
+                             * ie[:, :, None])
+        return cands
+
+    cands = tq(pl0) + tq(pl1)
     tl = functools.reduce(jnp.minimum, cands)
     th = functools.reduce(jnp.maximum, cands)
-    tl = jnp.maximum(tl, t_lo0[:, None])
-    th = jnp.minimum(th, t_cap[:, None])
-    t_ok = tl <= th
+    tl = jnp.maximum(tl, t_lo0[:, :, None])
+    th = jnp.minimum(th, t_cap[:, :, None])
+    t_ok = tl <= th                                     # (nt,SUB,S)
 
-    def minor(olo, ohi, dlo, dhi, lo_m, cs_m):
-        x00 = tl * dlo[:, None]
-        x01 = tl * dhi[:, None]
-        x10 = th * dlo[:, None]
-        x11 = th * dhi[:, None]
-        vlo = olo[:, None] + jnp.minimum(jnp.minimum(x00, x01),
-                                         jnp.minimum(x10, x11))
-        vhi = ohi[:, None] + jnp.maximum(jnp.maximum(x00, x01),
-                                         jnp.maximum(x10, x11))
-        ics = (1.0 / cs_m)[:, None]
-        return (((vlo - lo_m[:, None]) * ics).astype(jnp.int32),
-                ((vhi - lo_m[:, None]) * ics).astype(jnp.int32))
+    def minor(olo, ohi, dlo, dhi, lo_m, cs_m, n_m):
+        x00 = tl * dlo[:, :, None]
+        x01 = tl * dhi[:, :, None]
+        x10 = th * dlo[:, :, None]
+        x11 = th * dhi[:, :, None]
+        vlo = olo[:, :, None] + jnp.minimum(jnp.minimum(x00, x01),
+                                            jnp.minimum(x10, x11))
+        vhi = ohi[:, :, None] + jnp.maximum(jnp.maximum(x00, x01),
+                                            jnp.maximum(x10, x11))
+        ics = (1.0 / cs_m)[:, None, None]
+        lo_i = ((vlo - lo_m[:, None, None]) * ics).astype(jnp.int32)
+        hi_i = ((vhi - lo_m[:, None, None]) * ics).astype(jnp.int32)
+        return (jnp.clip(lo_i, 0, n_m[:, None, None] - 1),
+                jnp.clip(hi_i, 0, n_m[:, None, None] - 1))
 
-    b0, b1 = minor(ob_lo, ob_hi, db_lo, db_hi, lo_b, cs_b)
-    c0, c1 = minor(oc_lo, oc_hi, dc_lo, dc_hi, lo_c, cs_c)
-    b0 = jnp.clip(b0, 0, n_b[:, None] - 1)
-    b1 = jnp.clip(b1, 0, n_b[:, None] - 1)
-    c0 = jnp.clip(c0, 0, n_c[:, None] - 1)
-    c1 = jnp.clip(c1, 0, n_c[:, None] - 1)
-    rect_ok = k_ok & t_ok
+    b0q, b1q = minor(ob_lo, ob_hi, db_lo, db_hi, lo_b, cs_b, n_b)
+    c0q, c1q = minor(oc_lo, oc_hi, dc_lo, dc_hi, lo_c, cs_c, n_c)
+    rect_okq = t_ok & k_ok[:, None, :]                  # (nt,SUB,S)
+    # Full-tile rect = union over live quarters.
+    ibig = jnp.int32(2 ** 20)
+    b0 = jnp.min(jnp.where(rect_okq, b0q, ibig), axis=1)   # (nt,S)
+    b1 = jnp.max(jnp.where(rect_okq, b1q, -1), axis=1)
+    c0 = jnp.min(jnp.where(rect_okq, c0q, ibig), axis=1)
+    c1 = jnp.max(jnp.where(rect_okq, c1q, -1), axis=1)
+    rect_ok = jnp.any(rect_okq, axis=1)
+    b0 = jnp.where(rect_ok, b0, 0)
+    b1 = jnp.where(rect_ok, b1, 0)
+    c0 = jnp.where(rect_ok, c0, 0)
+    c1 = jnp.where(rect_ok, c1, 0)
 
     # qcol flat indexing: per-layout base offsets + per-tile strides.
     qbase_list = []
@@ -403,13 +453,11 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
     qbase = jnp.array(qbase_list, jnp.int32)[axis]          # (nt,)
 
     def qidx(k, j, c):
-        # (k * Db + j) * (Dc + 1) + c, flattened per layout.
         return (qbase[:, None, None]
                 + ((k[:, :, None] * n_b[:, None, None]
                     + j) * (n_c[:, None, None] + 1) + c))
 
-    # c-trimmed row ranges: rows b0, b0+1, ..., b0+RMAX-1 (masked past
-    # b1), then one untrimmed tail range for rows [b0+RMAX, b1].
+    # c-trimmed row ranges + untrimmed multi-row tail.
     rr = jnp.arange(_RMAX, dtype=jnp.int32)
     j_r = b0[:, :, None] + rr[None, None, :]                # (nt,S,R)
     row_ok = (j_r <= b1[:, :, None]) & rect_ok[:, :, None]
@@ -427,23 +475,48 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
               * (n_c[:, None] + 1) + n_c[:, None])]
     cnt_t = jnp.where(has_tail, jnp.maximum(t2 - t1 + 1, 0), 0)
 
-    starts = jnp.concatenate([g1, t1[:, :, None]], axis=2).reshape(-1)
+    # Subtile masks. Row slots: quarter sees the range iff its rect
+    # covers row j and overlaps the tile's col range (panel cols are a
+    # subset of [c0, c1], so this is conservative). Tail slot: quarter
+    # row-range overlaps the tail rows.
+    def bit(cond, s):
+        return cond.astype(jnp.int32) << s
+
+    mask_rows = jnp.zeros(j_r.shape, jnp.int32)
+    mask_tail = jnp.zeros(cnt_t.shape, jnp.int32)
+    for s in range(_SUB):
+        row_in = ((j_r >= b0q[:, s, :, None]) & (j_r <= b1q[:, s, :, None])
+                  & (c0q[:, s, :, None] <= c1[:, :, None])
+                  & (c1q[:, s, :, None] >= c0[:, :, None])
+                  & rect_okq[:, s, :, None])
+        mask_rows = mask_rows | bit(row_in, s)
+        tail_in = ((b1q[:, s, :] >= jt) & (b0q[:, s, :] <= b1)
+                   & rect_okq[:, s, :])
+        mask_tail = mask_tail | bit(tail_in, s)
+    cnt = jnp.where(mask_rows > 0, cnt, 0)
+    cnt_t = jnp.where(mask_tail > 0, cnt_t, 0)
+
+    starts = jnp.concatenate([g1 * 16 + mask_rows,
+                              (t1 * 16 + mask_tail)[:, :, None]],
+                             axis=2).reshape(-1)
     counts = jnp.concatenate([cnt, cnt_t[:, :, None]], axis=2
                              ).reshape(-1)
-    return (starts, counts, jnp.sum(counts), jnp.any(live_tile))
+    return starts, counts
 
 
-@functools.partial(jax.jit, static_argnames=("bucket", "slab", "nt"))
-def _items(starts, counts, bucket, slab, nt):
-    """Expand the per-(tile, slice, row) panel ranges into item arrays
-    padded to `bucket` (padding routed to the dummy tile nt)."""
-    src, rank, valid, _ = expand_by_counts(counts, bucket)
-    panel_of = jnp.where(valid, starts[src] + rank, 0)
-    tile_of = jnp.where(valid, src // (slab * (_RMAX + 1)), nt)
-    return tile_of, panel_of
+def _items(starts, counts, bmax, slab, nt):
+    """Expand panel ranges into ONE packed item array of static
+    capacity bmax: (tile << 20) | (panel << 4) | submask. Packing may
+    wrap into the sign bit for tile >= 2048 — decoding always uses
+    logical shifts. Invalid slots route to the dummy tile nt."""
+    src, rank, valid, total = expand_by_counts(counts, bmax)
+    pm = starts[src] + rank * 16          # (panel << 4) | mask
+    tile_of = src // (slab * (_RMAX + 1))
+    items = jnp.where(valid, tile_of * (2 ** _TSHIFT) + pm,
+                      nt * (2 ** _TSHIFT))
+    return items, jnp.minimum(total, bmax), total
 
 
-@jax.jit
 def _merge(best, out_ext, tile_of):
     """Fold one sweep chunk's output into the running per-ray best.
     Chunks may split a tile's item run; each partial flush merges
@@ -462,28 +535,81 @@ def _merge(best, out_ext, tile_of):
 
 
 # ----------------------------------------------------------------------
+# Whole-frame jit: all rounds, zero device->host reads
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims3", "slab", "any_hit", "tile", "bmax", "max_rounds",
+    "interpret"))
+def _frame(xp_ext, per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2,
+           reft, dims3, slab, any_hit, tile, bmax, max_rounds,
+           interpret):
+    nt = xp_ext.shape[0] // tile - 1
+    best = (jnp.full((nt, tile), _BIG, jnp.float32),
+            jnp.full((nt, tile), -1, jnp.int32),
+            jnp.zeros((nt, tile), jnp.float32),
+            jnp.zeros((nt, tile), jnp.float32))
+    ka = per_tile["k0"]
+    step = per_tile["step"]
+    overflow = jnp.int32(0)
+    for _ in range(max_rounds):
+        starts, counts = _plan(per_ray, per_tile, cs_tab, n_tab,
+                               lo_tab, qc1, qc2, ka, best[0], dims3,
+                               slab, any_hit)
+        items, n_items, total = _items(starts, counts, bmax, slab, nt)
+        overflow = overflow | (total > bmax)
+        for off in range(0, bmax, _CHUNK):
+            w = min(_CHUNK, bmax - off)
+            n_i = jnp.clip(n_items - off, 0, w)
+            it_c = items[off:off + w]
+
+            def do_chunk(best, it_c=it_c, n_i=n_i, w=w):
+                out_ext = _sweep(xp_ext, reft, it_c, n_i, tile,
+                                 interpret)
+                tiles = _tile_bits(it_c)
+                return _merge(best, out_ext,
+                              jnp.where(jnp.arange(w) < n_i, tiles,
+                                        nt))
+
+            # Empty chunks (and whole empty rounds) cost nothing.
+            best = jax.lax.cond(n_i > 0, do_chunk, lambda b: b, best)
+        ka = ka + step * slab
+    return best, overflow
+
+
+# ----------------------------------------------------------------------
 # Public entry
 # ----------------------------------------------------------------------
 
-_CHUNK = 65536  # max items per kernel call (2 x 256K SMEM prefetch)
-
-
-def _bucket(n: int) -> int:
-    b = 256
-    while b < n:
-        b *= 2
-    return b
-
-
 def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                 interpret: bool = False, tile: int = 512,
-                slab: int = 8) -> Hits:
-    """Trace rays against a PacketGrid with the planned-sweep kernel."""
+                slab: int = 16, bmax: int | None = None,
+                return_overflow: bool = False):
+    """Trace rays against a PacketGrid with the planned-sweep kernel.
+
+    The frame runs as one jitted computation with no host syncs. If a
+    round selects more than `bmax` items, the surplus is dropped and
+    the device-side overflow flag is set (request it with
+    return_overflow=True, or raise bmax). On the CPU backend the kernel
+    falls back to interpret mode (Mosaic is TPU-only)."""
+    if jax.default_backend() == "cpu":
+        interpret = True
     n = rays.count
     x = rays_to_x(rays.org, rays.dir, rays.tmin, rays.tmax)
     n_pad = (-(-n // tile) + 6) * tile
+    if bmax is None:
+        bmax = min(262144, max(2048, 16 * (n_pad // tile) * slab))
+    # Packed-item encoding limits (see _items): 12-bit tile, 16-bit
+    # panel. Trace more rays in several calls / raise `tile` if hit.
+    if n_pad // tile + 1 > 4095:
+        raise ValueError(
+            f"{n_pad // tile} ray tiles exceeds the 12-bit item "
+            f"encoding; raise tile= or split the ray batch")
+    if 3 * grid.panels_per_layout > 65536:
+        raise ValueError(
+            f"{3 * grid.panels_per_layout} panels exceeds the 16-bit "
+            f"item encoding; lower densities or ref_capacity")
     xp, inv = _bin_rays(x, n_pad, tile)
-    nt = n_pad // tile
 
     cs_tab, n_tab, lo_tab = _tile_tabs(grid)
     per_ray, per_tile = _precompute(xp, cs_tab, n_tab, lo_tab,
@@ -494,39 +620,20 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     dead = dead.at[0].set(1.0).at[1].set(-1e30).at[4].set(1.0)
     xp_ext = jnp.concatenate([xp, jnp.broadcast_to(dead, (tile, 16))])
 
-    best = (jnp.full((nt, tile), _BIG, jnp.float32),
-            jnp.full((nt, tile), -1, jnp.int32),
-            jnp.zeros((nt, tile), jnp.float32),
-            jnp.zeros((nt, tile), jnp.float32))
-    ka = per_tile["k0"]
-    step = per_tile["step"]
-
     max_rounds = -(-max(d[0] for d in grid.dims3) // slab) + 1
-    for _ in range(max_rounds):
-        starts, counts, n_items, live = _plan(
-            per_ray, per_tile, cs_tab, n_tab, lo_tab, grid.qc1,
-            grid.qc2, ka, best[0], grid.dims3, slab, any_hit)
-        n_items = int(jax.device_get(n_items))
-        if n_items == 0:
-            if not bool(jax.device_get(live)):
-                break
-            ka = ka + step * slab
-            continue
-        tile_of, panel_of = _items(starts, counts, _bucket(n_items),
-                                   slab, nt)
-        # SMEM holds ~1M of prefetched scalars; chunk huge item lists.
-        for off in range(0, tile_of.shape[0], _CHUNK):
-            out_ext = _sweep(xp_ext, grid.reft,
-                             tile_of[off:off + _CHUNK],
-                             panel_of[off:off + _CHUNK], tile, interpret)
-            best = _merge(best, out_ext, tile_of[off:off + _CHUNK])
-        ka = ka + step * slab
+    best, overflow = _frame(xp_ext, per_ray, per_tile, cs_tab, n_tab,
+                            lo_tab, grid.qc1, grid.qc2, grid.reft,
+                            grid.dims3, slab, any_hit, tile, bmax,
+                            max_rounds, interpret)
 
     out_flat = jnp.stack(
         [best[0].reshape(-1),
          jax.lax.bitcast_convert_type(best[1], jnp.float32).reshape(-1),
          best[2].reshape(-1), best[3].reshape(-1)], axis=1)
-    return _unbin(out_flat, inv, n)
+    hits = _unbin(out_flat, inv, n)
+    if return_overflow:
+        return hits, overflow
+    return hits
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -6,6 +6,13 @@ TPU replacement for the reference MemManager slot allocator: iteration 2+
 is allocation-free because shapes never change), and dispatches traversal
 on the best available path. bench.py, the CLI, and __graft_entry__ all go
 through this facade so the fastest path is always the one benched.
+
+Structures:
+- "packet"    (default): slice-major packet grid + planned-sweep Pallas
+              tracer (ops/sweep_trace.py) — the flagship TPU path.
+- "irregular": two-level irregular grid (reference parity structure)
+              + wavefront gather tracer.
+- "uniform":  single-level grid, the BASELINE config #1 reference path.
 """
 
 from __future__ import annotations
@@ -13,29 +20,40 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import numpy as np
 
 from ..core.types import Hits, Rays, Triangles
-from ..grid import irregular, uniform
+from ..grid import irregular, packet, uniform
+from ..ops.sweep_trace import trace_sweep
 from ..utils.config import BuildParams
 
 
 @dataclasses.dataclass
 class RenderSession:
     params: BuildParams
-    structure: str  # "irregular" (flagship) or "uniform"
+    structure: str  # "packet" (flagship) | "irregular" | "uniform"
     grid: object
+    bbox: tuple | None = None  # host-side scene bounds (packet rebuilds)
 
     @staticmethod
     def create(tris: Triangles, params: BuildParams | None = None,
-               structure: str = "irregular") -> "RenderSession":
+               structure: str = "packet",
+               verts=None) -> "RenderSession":
+        """verts: optional host vertex array; lets the packet build skip
+        the device->host bounds read (which permanently degrades this
+        environment's dispatch latency — docs/ARCHITECTURE.md)."""
         params = params or BuildParams()
         s = RenderSession(params=params, structure=structure, grid=None)
+        if verts is not None and len(verts):
+            v = np.asarray(verts, np.float32)
+            s.bbox = (v.min(0), v.max(0))
         s.rebuild(tris)
         return s
 
     def rebuild(self, tris: Triangles):
-        """Per-frame rebuild. Capacity buckets are stable across frames, so
-        only the first frame compiles."""
+        """Per-frame rebuild. Capacity buckets are stable across frames,
+        so only the first frame compiles, and (packet path) frames after
+        the first run with zero host synchronisation."""
         if self.structure == "uniform":
             kw = {}
             if self.grid is not None:
@@ -43,27 +61,48 @@ class RenderSession:
                           dims=self.grid.dims)
             self.grid = uniform.build_uniform(
                 tris, density=self.params.snd_density, **kw)
-        else:
+        elif self.structure == "irregular":
             kw = {}
             if self.grid is not None:
                 kw = dict(top_dims=self.grid.top_dims)
-            self.grid = irregular.build_irregular(tris, self.params, **kw)
+            self.grid = irregular.build_irregular(tris, self.params,
+                                                  **kw)
+        else:
+            kw = dict(bbox=self.bbox)
+            if self.grid is not None:
+                # Sync-free warm rebuild: frame-1 capacity, deferred
+                # overflow detection via grid.overflowed.
+                kw.update(ref_capacity=self.grid.ref_capacity,
+                          dims3=self.grid.dims3, check=False)
+            self.grid = packet.build_packet(tris, **kw)
+            if self.bbox is None:
+                self.bbox = (np.asarray(self.grid.bbox_lo),
+                             np.asarray(self.grid.bbox_hi))
         return self.grid.total_refs  # something to block on
 
     def trace(self, rays: Rays, any_hit: bool = False) -> Hits:
         if self.structure == "uniform":
             return uniform.trace_uniform_fast(self.grid, rays,
                                               any_hit=any_hit)
-        return irregular.trace_irregular_fast(self.grid, rays,
-                                              any_hit=any_hit)
+        if self.structure == "irregular":
+            return irregular.trace_irregular_fast(self.grid, rays,
+                                                  any_hit=any_hit)
+        return trace_sweep(self.grid, rays, any_hit=any_hit)
 
     def describe(self) -> str:
         if self.structure == "uniform":
             g = self.grid
             return (f"uniform dims={g.dims} cells={g.num_cells} "
                     f"refs={int(jax.device_get(g.total_refs))}")
-        st = self.grid.stats()
-        return (f"irregular top={st['top_dims']} levels={st['levels']} "
-                f"cells={st['cells']} refs={st['refs']} "
-                f"mean_refs={st['refs_per_cell_mean']:.2f} "
-                f"empty={st['empty_cell_frac']:.2f}")
+        if self.structure == "irregular":
+            st = self.grid.stats()
+            return (f"irregular top={st['top_dims']} "
+                    f"levels={st['levels']} "
+                    f"cells={st['cells']} refs={st['refs']} "
+                    f"mean_refs={st['refs_per_cell_mean']:.2f} "
+                    f"empty={st['empty_cell_frac']:.2f}")
+        g = self.grid
+        # No device reads here: describe() runs before trace timing.
+        return (f"packet dims3={g.dims3} "
+                f"panels/layout={g.panels_per_layout} "
+                f"ref_capacity={g.ref_capacity}")

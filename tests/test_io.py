@@ -46,10 +46,18 @@ def test_grid_checkpoint_roundtrip(tmp_path):
     save_grid(p, s.grid)
     g2 = load_grid(p)
     rays = primary_rays(scenes.cornell_camera(), 24, 24)
-    from hagrid_tpu.grid.irregular import trace_irregular_fast
-    got = trace_irregular_fast(g2, rays)
+    from hagrid_tpu.ops.sweep_trace import trace_sweep
+    got = trace_sweep(g2, rays, tile=128, slab=4, bmax=2048)
     want = s.trace(rays)
     assert_hits_match(got, want)
+
+    from hagrid_tpu.grid.irregular import build_irregular, \
+        trace_irregular_fast
+    gi = build_irregular(tris)
+    save_grid(p, gi)
+    gi2 = load_grid(p)
+    got_i = trace_irregular_fast(gi2, rays)
+    assert_hits_match(got_i, want)
 
 
 def test_cli_render_and_stats(tmp_path):

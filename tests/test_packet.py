@@ -35,7 +35,7 @@ def _cell_sets(starts3, refid, axis, dims):
 
 def test_three_layouts_agree_with_uniform(cornell):
     dims = (4, 4, 4)
-    g = packet.build_packet(cornell, dims=dims)
+    g = packet.build_packet(cornell, dims=dims, march_tables=True)
     u = build_uniform(cornell, dims=dims)
     # Uniform grid cell sets (x-fastest linearization).
     us = np.asarray(u.cell_starts)
@@ -54,7 +54,7 @@ def test_three_layouts_agree_with_uniform(cornell):
 
 
 def test_starts_monotone_and_total(cornell):
-    g = packet.build_packet(cornell, dims=(5, 3, 4))
+    g = packet.build_packet(cornell, dims=(5, 3, 4), march_tables=True)
     dims = (5, 3, 4)
     for axis in range(3):
         a, b, c = packet._axis_order(axis)

@@ -36,7 +36,7 @@ def _check(hits, ref, n_report=8):
 
 
 def test_primary_cornell_matches_oracle(cornell):
-    g = build_packet(cornell, dims=(6, 6, 6))
+    g = build_packet(cornell, dims=(6, 6, 6), march_tables=True)
     rays = primary_rays(scenes.cornell_camera(), 32, 32)
     hits = trace_packet(g, rays, interpret=True)
     ref = oracle.closest_hit(rays, cornell)
@@ -46,7 +46,7 @@ def test_primary_cornell_matches_oracle(cornell):
 
 
 def test_random_rays_match_oracle(cornell):
-    g = build_packet(cornell, dims=(5, 4, 6))
+    g = build_packet(cornell, dims=(5, 4, 6), march_tables=True)
     key = jax.random.PRNGKey(7)
     n = 512
     org = jax.random.uniform(key, (n, 3)) * 0.6 + 0.2
@@ -59,7 +59,7 @@ def test_random_rays_match_oracle(cornell):
 
 
 def test_finite_tmax_any_hit(cornell):
-    g = build_packet(cornell, dims=(6, 6, 6))
+    g = build_packet(cornell, dims=(6, 6, 6), march_tables=True)
     rays = primary_rays(scenes.cornell_camera(), 16, 16)
     ref = oracle.closest_hit(rays, cornell)
     short = Rays(org=rays.org, dir=rays.dir, tmin=rays.tmin,
