@@ -64,7 +64,7 @@ import numpy as np
 from ..core.types import Triangles
 from ..ops.segment import expand_by_counts, segment_starts, sort_pairs
 from ..utils.config import density_dims
-from .uniform import tri_voxel_ranges
+from .uniform import tri_box_overlap, tri_voxel_ranges
 
 # starts3 padding: the tracer DMAs fixed (8, 16, 256) windows whose
 # offsets must be Mosaic-aligned (sublane multiple of 8, lane multiple of
@@ -125,7 +125,9 @@ class PacketGrid:
     # contiguous range [qc1[k,j,c0], qc2[k,j,c1+1]] (empty if reversed).
     qc1: jnp.ndarray
     qc2: jnp.ndarray
-    total_refs: jnp.ndarray  # i32[]
+    total_refs: jnp.ndarray   # i32[]: max SAT-surviving refs per layout
+    total_pairs: jnp.ndarray  # i32[]: max pre-SAT (tri, cell) pairs --
+    #                           the capacity-bound quantity
     tris: Triangles
 
     @property
@@ -139,9 +141,9 @@ class PacketGrid:
 
     @property
     def overflowed(self):
-        """Device bool: per-layout refs exceeded capacity (only possible
+        """Device bool: per-layout pairs exceeded capacity (only possible
         when built with check=False); hits may then be missed."""
-        return self.total_refs > self.ref_capacity
+        return self.total_pairs > self.ref_capacity
 
     @property
     def num_cells(self) -> int:
@@ -202,6 +204,7 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
 
     outs = []
     totals = []
+    reals = []
     for axis in range(3):
         a, b, c = _axis_order(axis)
         da, db, dc = dims3[axis]
@@ -221,11 +224,24 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
         v = jnp.stack([l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz], axis=1)
 
         num_cells = da * db * dc
+        # Exact SAT pruning (reference parity: src/build.cu exact
+        # overlap): drop (tri, cell) pairs whose triangle misses the
+        # cell box. Cuts refs ~25-40%, which shrinks panels AND the
+        # per-panel live lanes the tracer tests.
+        csx = jnp.stack([(bbox_hi[0] - bbox_lo[0]) / dims_xyz[0],
+                         (bbox_hi[1] - bbox_lo[1]) / dims_xyz[1],
+                         (bbox_hi[2] - bbox_lo[2]) / dims_xyz[2]])
+        cell_lo = bbox_lo[None, :] + v.astype(jnp.float32) * csx[None, :]
+        tv0 = tris.v0[tri_idx]
+        sat = tri_box_overlap(tv0, tv0 + tris.e1[tri_idx],
+                              tv0 + tris.e2[tri_idx],
+                              cell_lo, cell_lo + csx[None, :])
+        keep = valid & sat
         key = (v[:, a] * db + v[:, b]) * dc + v[:, c]
-        key = jnp.where(valid, key, num_cells)
-        skeys, srefs = sort_pairs(key, jnp.where(valid, tri_idx, 0))
+        key = jnp.where(keep, key, num_cells)
+        skeys, srefs = sort_pairs(key, jnp.where(keep, tri_idx, 0))
         starts = segment_starts(skeys, num_cells)  # i32[C+1]
-        live = jnp.arange(ref_capacity) < total
+        live = jnp.arange(ref_capacity) < starts[num_cells]
 
         # --- Sweep-tracer tables: row-aligned panels + qcol ranges ---
         nrows = da * db
@@ -287,12 +303,14 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             refq = jnp.zeros((16, 4 * 128), jnp.float32)
             refid = jnp.zeros((1, 128), jnp.float32)
         outs.append((starts3, refq, refid, reft, qc1, qc2))
-        totals.append(total)
+        totals.append(total)              # AABB pairs (capacity bound)
+        reals.append(starts[num_cells])   # SAT-surviving refs
     reft_all = jnp.concatenate([o[3] for o in outs], axis=1)
     qc1_all = jnp.concatenate([o[4] for o in outs])
     qc2_all = jnp.concatenate([o[5] for o in outs])
     outs = [o[:3] for o in outs]
-    return outs, reft_all, qc1_all, qc2_all, jnp.max(jnp.stack(totals))
+    return (outs, reft_all, qc1_all, qc2_all,
+            jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)))
 
 
 def build_packet(tris: Triangles, cross_density: float = 0.4,
@@ -332,7 +350,8 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                           refq_x=zq, refq_y=zq, refq_z=zq,
                           refid_x=zi, refid_y=zi, refid_z=zi,
                           reft=zt, qc1=zq1, qc2=zq2,
-                          total_refs=jnp.int32(0), tris=tris)
+                          total_refs=jnp.int32(0),
+                          total_pairs=jnp.int32(0), tris=tris)
     if bbox is not None:
         lo, hi = np.asarray(bbox[0], np.float32), np.asarray(bbox[1],
                                                              np.float32)
@@ -361,12 +380,11 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
-        outs, reft, qc1, qc2, total = _build(tris, bbox_lo, bbox_hi,
-                                             dims3, ref_capacity,
-                                             march_tables)
+        outs, reft, qc1, qc2, pairs, total = _build(
+            tris, bbox_lo, bbox_hi, dims3, ref_capacity, march_tables)
         if not check:
             break
-        t = int(jax.device_get(total))
+        t = int(jax.device_get(pairs))
         if t <= ref_capacity:
             break
         ref_capacity = -(-int(t * 1.25) // 256) * 256
@@ -376,4 +394,4 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                       refq_x=qx, refq_y=qy, refq_z=qz,
                       refid_x=ix, refid_y=iy, refid_z=iz,
                       reft=reft, qc1=qc1, qc2=qc2,
-                      total_refs=total, tris=tris)
+                      total_refs=total, total_pairs=pairs, tris=tris)

@@ -72,6 +72,48 @@ def tri_voxel_ranges(tris: Triangles, bbox_lo, bbox_hi, dims):
     return lo, hi
 
 
+def tri_box_overlap(v0, v1, v2, box_lo, box_hi):
+    """Exact separating-axis triangle/AABB test, vectorized over pairs.
+
+    Counterpart of the reference's exact binning overlap (src/build.cu
+    prims — SURVEY.md §2 triangle row; Akenine-Moller's 13-axis SAT).
+    All args (N, 3); returns bool (N,). The 3 box face normals are
+    assumed pre-satisfied (callers test only cells inside the tri's
+    AABB voxel range), leaving the tri plane + 9 edge cross axes."""
+    c = 0.5 * (box_lo + box_hi)
+    # Relative epsilon pad: f32 cancellation on large coordinates must
+    # err toward keeping a pair (conservative completeness).
+    h = 0.5 * (box_hi - box_lo) * 1.0001 + 1e-6
+    p0 = v0 - c
+    p1 = v1 - c
+    p2 = v2 - c
+    f0 = p1 - p0
+    f1 = p2 - p1
+    f2 = p0 - p2
+
+    def sep(ax, ay, az):
+        r = (h[:, 0] * jnp.abs(ax) + h[:, 1] * jnp.abs(ay)
+             + h[:, 2] * jnp.abs(az))
+        q0 = ax * p0[:, 0] + ay * p0[:, 1] + az * p0[:, 2]
+        q1 = ax * p1[:, 0] + ay * p1[:, 1] + az * p1[:, 2]
+        q2 = ax * p2[:, 0] + ay * p2[:, 1] + az * p2[:, 2]
+        qmin = jnp.minimum(jnp.minimum(q0, q1), q2)
+        qmax = jnp.maximum(jnp.maximum(q0, q1), q2)
+        return (qmin > r) | (qmax < -r)
+
+    z = jnp.zeros_like(f0[:, 0])
+    separated = z > 1.0  # all-False
+    for f in (f0, f1, f2):
+        # a = e_x x f, e_y x f, e_z x f
+        separated |= sep(z, -f[:, 2], f[:, 1])
+        separated |= sep(f[:, 2], z, -f[:, 0])
+        separated |= sep(-f[:, 1], f[:, 0], z)
+    # Triangle plane.
+    n = jnp.cross(f0, f1)
+    separated |= sep(n[:, 0], n[:, 1], n[:, 2])
+    return ~separated
+
+
 def linear_cell(ix, iy, iz, dims):
     """x-fastest linearization, matching voxel -> entry indexing everywhere."""
     return (iz * dims[1] + iy) * dims[0] + ix

@@ -170,16 +170,14 @@ def _make_kernel(tile: int, nt: int):
     return kernel
 
 
-def _sweep(xp_ext, reft, items, n_i, tile, interpret):
-    """One item-chunk sweep. n_i is the TRACED number of live items
-    (dynamic grid); items past n_i are never executed. In interpret
-    mode the grid must be concrete, so the full chunk runs and dead
-    items (tile bits == nt) are skipped by the kernel's pl.when
-    guards."""
+def _sweep(xp_ext, reft, items, tile, interpret):
+    """One item-chunk sweep over a STATIC grid (a dynamic Mosaic grid
+    disables the block pipeline: measured 15us/item vs 1.8us static).
+    Dead items (tile bits == nt) are skipped by the kernel's pl.when
+    guards and revisit the dummy blocks, costing only bookkeeping."""
     n_rows = xp_ext.shape[0]
     nt = n_rows // tile - 1
-    n_items = items.shape[0]
-    grid = (n_items,) if interpret else (n_i,)
+    grid = (items.shape[0],)
 
     def panel_bits(v):
         return jax.lax.shift_right_logical(v, _PSHIFT) & 0xFFFF
@@ -218,9 +216,12 @@ def _sweep(xp_ext, reft, items, n_i, tile, interpret):
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "tile"))
-def _bin_rays(x, n_pad, tile):
+def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
     """Group rays by (major axis, sign) into tile-aligned segments via
-    masked cumsums (counting sort; no device-wide lax.sort)."""
+    masked cumsums (counting sort; no device-wide lax.sort). Returns
+    (xp_ext, inv): the permuted X matrix with a trailing all-dead dummy
+    tile, and row -> original ray (-1 for padding)."""
+    x = rays_to_x(org, dir, tmin, tmax)
     n = x.shape[0]
     d = x[:, 4:7]
     ad = jnp.abs(d)
@@ -243,32 +244,35 @@ def _bin_rays(x, n_pad, tile):
                             jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     pos = offs[g] + ranks
 
-    # Padding rows: a dead ray far outside the scene, +x, tmax = 0.
+    # Scatter a 1-int permutation, then GATHER the 16-float rows (a
+    # 64MB row scatter lowers poorly; the 4MB index scatter + row
+    # gather is ~10x cheaper). inv == -1 rows become the dead ray.
+    inv = jnp.full((n_pad + tile,), -1, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     dead = jnp.zeros((16,), jnp.float32)
     dead = dead.at[0].set(1.0).at[1].set(-1e30).at[4].set(1.0)
-    xp = jnp.broadcast_to(dead, (n_pad, 16)).at[pos].set(x, mode="drop")
-    inv = jnp.full((n_pad,), -1, jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return xp, inv
+    xp_ext = jnp.where((inv >= 0)[:, None],
+                       x[jnp.maximum(inv, 0)], dead[None, :])
+    return xp_ext, inv[:n_pad]
 
 
-def _tile_tabs(grid: PacketGrid):
-    """Per-layout (cs, dims, lo) tables in (slice, row, col) order."""
-    ext = grid.bbox_hi - grid.bbox_lo
+def _tile_tabs(bbox_lo, bbox_hi, dims3):
+    """Per-layout (cs, dims, lo) tables in (slice, row, col) order.
+    Traced (tiny) — called inside the frame jit."""
+    ext = bbox_hi - bbox_lo
     cs_rows, n_rows, lo_rows = [], [], []
     for a in range(3):
-        da, db, dc = grid.dims3[a]
+        da, db, dc = dims3[a]
         b, c = (a + 1) % 3, (a + 2) % 3
         cs_rows.append(jnp.stack([ext[a] / da, ext[b] / db, ext[c] / dc]))
         n_rows.append(jnp.array([da, db, dc], jnp.int32))
-        lo_rows.append(jnp.stack([grid.bbox_lo[a], grid.bbox_lo[b],
-                                  grid.bbox_lo[c]]))
+        lo_rows.append(jnp.stack([bbox_lo[a], bbox_lo[b], bbox_lo[c]]))
     return (jnp.stack(cs_rows), jnp.stack(n_rows), jnp.stack(lo_rows))
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
 def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile):
-    """Static per-ray / per-tile quantities for the round loop."""
+    """Static per-ray / per-tile quantities for the round loop.
+    Traced — called inside the frame jit."""
     nt = xp.shape[0] // tile
     x3 = xp.reshape(nt, tile, 16)
     o = x3[..., 1:4]
@@ -512,8 +516,11 @@ def _items(starts, counts, bmax, slab, nt):
     src, rank, valid, total = expand_by_counts(counts, bmax)
     pm = starts[src] + rank * 16          # (panel << 4) | mask
     tile_of = src // (slab * (_RMAX + 1))
-    items = jnp.where(valid, tile_of * (2 ** _TSHIFT) + pm,
-                      nt * (2 ** _TSHIFT))
+    # nt << 20 can exceed int32 as a Python literal (nt >= 2048); shift
+    # on-device so it wraps into the sign bit like every other item.
+    dummy = jnp.left_shift(jnp.int32(nt), _TSHIFT)
+    items = jnp.where(valid,
+                      jnp.left_shift(tile_of, _TSHIFT) + pm, dummy)
     return items, jnp.minimum(total, bmax), total
 
 
@@ -541,10 +548,13 @@ def _merge(best, out_ext, tile_of):
 @functools.partial(jax.jit, static_argnames=(
     "dims3", "slab", "any_hit", "tile", "bmax", "max_rounds",
     "interpret"))
-def _frame(xp_ext, per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2,
+def _frame(xp_ext, bbox_lo, bbox_hi, qc1, qc2,
            reft, dims3, slab, any_hit, tile, bmax, max_rounds,
            interpret):
     nt = xp_ext.shape[0] // tile - 1
+    cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
+    per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
+                                    lo_tab, bbox_lo, bbox_hi, tile)
     best = (jnp.full((nt, tile), _BIG, jnp.float32),
             jnp.full((nt, tile), -1, jnp.int32),
             jnp.zeros((nt, tile), jnp.float32),
@@ -558,21 +568,24 @@ def _frame(xp_ext, per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2,
                                slab, any_hit)
         items, n_items, total = _items(starts, counts, bmax, slab, nt)
         overflow = overflow | (total > bmax)
-        for off in range(0, bmax, _CHUNK):
-            w = min(_CHUNK, bmax - off)
-            n_i = jnp.clip(n_items - off, 0, w)
+        # Pow2 chunk ladder: a round with k items runs only the gated
+        # chunks covering it, so slack past n_items costs at most ~one
+        # chunk of cheap dead-item skips.
+        off = 0
+        w = 4096
+        while off < bmax:
+            w = min(w, bmax - off)
             it_c = items[off:off + w]
 
-            def do_chunk(best, it_c=it_c, n_i=n_i, w=w):
-                out_ext = _sweep(xp_ext, reft, it_c, n_i, tile,
-                                 interpret)
-                tiles = _tile_bits(it_c)
-                return _merge(best, out_ext,
-                              jnp.where(jnp.arange(w) < n_i, tiles,
-                                        nt))
+            def do_chunk(best, it_c=it_c):
+                out_ext = _sweep(xp_ext, reft, it_c, tile, interpret)
+                return _merge(best, out_ext, _tile_bits(it_c))
 
             # Empty chunks (and whole empty rounds) cost nothing.
-            best = jax.lax.cond(n_i > 0, do_chunk, lambda b: b, best)
+            best = jax.lax.cond(n_items > off, do_chunk,
+                                lambda b: b, best)
+            off += w
+            w = min(2 * w, _CHUNK)
         ka = ka + step * slab
     return best, overflow
 
@@ -595,7 +608,6 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     if jax.default_backend() == "cpu":
         interpret = True
     n = rays.count
-    x = rays_to_x(rays.org, rays.dir, rays.tmin, rays.tmax)
     n_pad = (-(-n // tile) + 6) * tile
     if bmax is None:
         bmax = min(262144, max(2048, 16 * (n_pad // tile) * slab))
@@ -609,20 +621,12 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         raise ValueError(
             f"{3 * grid.panels_per_layout} panels exceeds the 16-bit "
             f"item encoding; lower densities or ref_capacity")
-    xp, inv = _bin_rays(x, n_pad, tile)
-
-    cs_tab, n_tab, lo_tab = _tile_tabs(grid)
-    per_ray, per_tile = _precompute(xp, cs_tab, n_tab, lo_tab,
-                                    grid.bbox_lo, grid.bbox_hi, tile)
-
-    # Dummy tile for padded items.
-    dead = jnp.zeros((16,), jnp.float32)
-    dead = dead.at[0].set(1.0).at[1].set(-1e30).at[4].set(1.0)
-    xp_ext = jnp.concatenate([xp, jnp.broadcast_to(dead, (tile, 16))])
+    xp_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin, rays.tmax,
+                            n_pad, tile)
 
     max_rounds = -(-max(d[0] for d in grid.dims3) // slab) + 1
-    best, overflow = _frame(xp_ext, per_ray, per_tile, cs_tab, n_tab,
-                            lo_tab, grid.qc1, grid.qc2, grid.reft,
+    best, overflow = _frame(xp_ext, grid.bbox_lo, grid.bbox_hi,
+                            grid.qc1, grid.qc2, grid.reft,
                             grid.dims3, slab, any_hit, tile, bmax,
                             max_rounds, interpret)
 

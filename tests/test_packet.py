@@ -37,16 +37,31 @@ def test_three_layouts_agree_with_uniform(cornell):
     dims = (4, 4, 4)
     g = packet.build_packet(cornell, dims=dims, march_tables=True)
     u = build_uniform(cornell, dims=dims)
-    # Uniform grid cell sets (x-fastest linearization).
+    # Uniform grid cell sets (x-fastest linearization). The packet build
+    # SAT-prunes pairs the uniform AABB binning keeps, so each layout's
+    # set must equal the uniform set filtered by the exact overlap test.
+    from hagrid_tpu.grid.uniform import tri_box_overlap
     us = np.asarray(u.cell_starts)
     uref = np.asarray(u.ref_ids)
+    v0 = np.asarray(cornell.v0)
+    v1 = v0 + np.asarray(cornell.e1)
+    v2 = v0 + np.asarray(cornell.e2)
+    # f32 corner math, exactly like the build (float64 promotion flips
+    # boundary pairs).
+    blo = np.asarray(g.bbox_lo)
+    cs = ((np.asarray(g.bbox_hi) - blo) / 4.0).astype(np.float32)
     expected = {}
     for z in range(4):
         for y in range(4):
             for x in range(4):
                 cell = (z * 4 + y) * 4 + x
-                expected[(x, y, z)] = frozenset(
-                    uref[us[cell]:us[cell + 1]].tolist())
+                ts = uref[us[cell]:us[cell + 1]]
+                clo = blo + np.array([x, y, z], np.float32) * cs
+                keep = np.asarray(tri_box_overlap(
+                    v0[ts], v1[ts], v2[ts],
+                    np.broadcast_to(clo, (len(ts), 3)),
+                    np.broadcast_to(clo + cs, (len(ts), 3))))
+                expected[(x, y, z)] = frozenset(ts[keep].tolist())
     for axis in range(3):
         starts3, _, refid = g.axis_tables(axis)
         got = _cell_sets(starts3, refid, axis, dims)
