@@ -105,7 +105,7 @@ def main():
     }
 
     if args.workload == "primary":
-        rays = primary_rays(cam, w, h)
+        rays = primary_rays(cam, w, h, order="block")
         rays = jax.block_until_ready(jax.device_put(rays))
         trace_s = timed(session.trace, rays, warmup=2, iters=iters)
         mrays = (w * h) / trace_s / 1e6
@@ -121,7 +121,7 @@ def main():
         from hagrid_tpu.render import integrators
 
         n_samples = 4
-        rays = primary_rays(cam, w, h)
+        rays = primary_rays(cam, w, h, order="block")
         hits = session.trace(rays)
         key = jax.random.PRNGKey(0)
 
@@ -158,7 +158,7 @@ def main():
         from hagrid_tpu.render.dynamic import AnimatedScene
 
         scene_anim = AnimatedScene(v, f)
-        rays = primary_rays(cam, w, h)
+        rays = primary_rays(cam, w, h, order="block")
 
         def frame(t):
             session.rebuild(scene_anim.frame(t))

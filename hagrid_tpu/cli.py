@@ -88,15 +88,24 @@ def _setup(args):
 
 def cmd_render(args):
     session, cam, tris = _setup(args)  # sets the platform — import first
-    from hagrid_tpu.core.camera import primary_rays
+    from hagrid_tpu.core.camera import block_index, primary_rays
     from hagrid_tpu.io.image import shade_eyelight, write_png, write_ppm
     w, h = (int(x) for x in args.size.split("x"))
-    rays = primary_rays(cam, w, h)
+    rays = primary_rays(cam, w, h, order="block")
     t0 = time.perf_counter()
     hits = session.trace(rays)
     dt = time.perf_counter() - t0
-    img = shade_eyelight(np.asarray(hits.tri_id), np.asarray(hits.t),
-                         np.asarray(tris.n), np.asarray(rays.dir), w, h)
+    tri_id = np.asarray(hits.tri_id)
+    t_arr = np.asarray(hits.t)
+    dirs = np.asarray(rays.dir)
+    if w % 32 == 0 and h % 32 == 0:
+        # Undo the packet-friendly block ordering for the image.
+        idx = block_index(w, h)
+        inv = np.empty_like(idx)
+        inv[idx] = np.arange(idx.size)
+        tri_id, t_arr, dirs = tri_id[inv], t_arr[inv], dirs[inv]
+    img = shade_eyelight(tri_id, t_arr,
+                         np.asarray(tris.n), dirs, w, h)
     if args.out.endswith(".ppm"):
         write_ppm(args.out, img)
     else:
@@ -113,7 +122,7 @@ def cmd_bench(args):
 
     from hagrid_tpu.core.camera import primary_rays
     w, h = (int(x) for x in args.size.split("x"))
-    rays = primary_rays(cam, w, h)
+    rays = primary_rays(cam, w, h, order="block")
 
     def timed(fn, *a, iters=args.iters):
         jax.block_until_ready(fn(*a))

@@ -125,6 +125,15 @@ class PacketGrid:
     # contiguous range [qc1[k,j,c0], qc2[k,j,c1+1]] (empty if reversed).
     qc1: jnp.ndarray
     qc2: jnp.ndarray
+    # Compaction-gather tables (ops/sweep_trace.py round-2b path):
+    # rs i32[sum_a Da*Db*(Dc+1)]: like qc1/qc2 but REF-level — absolute
+    # row index into `cols` of the first ref of row (k,j) at column
+    # >= c (layout offset a*R_cap folded in). cols f32[3*R_cap + 8,
+    # 16]: per-ref MT rows [v0(3) e1(3) e2(3) idbits zeros(6)] in
+    # sorted order per layout; the trailing 8 zero rows are the DEAD
+    # target (det = 0) for padding slots.
+    rs: jnp.ndarray
+    cols: jnp.ndarray
     total_refs: jnp.ndarray   # i32[]: max SAT-surviving refs per layout
     total_pairs: jnp.ndarray  # i32[]: max pre-SAT (tri, cell) pairs --
     #                           the capacity-bound quantity
@@ -258,6 +267,7 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
         qc1 = (pbase[:, None] + rel // 128 + axis * p_cap).reshape(-1)
         qc2 = (pbase[:, None] + (rel - 1) // 128 + axis * p_cap
                ).reshape(-1)
+        rs = (s_log + axis * ref_capacity).reshape(-1)
         # Per-ref classic MT columns, gathered into padded panel slots.
         colsT = jnp.concatenate(
             [jnp.where(live[:, None], tris.v0[srefs], 0.0),
@@ -302,14 +312,17 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
                                 jnp.int32)
             refq = jnp.zeros((16, 4 * 128), jnp.float32)
             refid = jnp.zeros((1, 128), jnp.float32)
-        outs.append((starts3, refq, refid, reft, qc1, qc2))
+        outs.append((starts3, refq, refid, reft, qc1, qc2, rs, colsT))
         totals.append(total)              # AABB pairs (capacity bound)
         reals.append(starts[num_cells])   # SAT-surviving refs
     reft_all = jnp.concatenate([o[3] for o in outs], axis=1)
     qc1_all = jnp.concatenate([o[4] for o in outs])
     qc2_all = jnp.concatenate([o[5] for o in outs])
+    rs_all = jnp.concatenate([o[6] for o in outs])
+    cols_all = jnp.concatenate(
+        [o[7] for o in outs] + [jnp.zeros((8, 16), jnp.float32)])
     outs = [o[:3] for o in outs]
-    return (outs, reft_all, qc1_all, qc2_all,
+    return (outs, reft_all, qc1_all, qc2_all, rs_all, cols_all,
             jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)))
 
 
@@ -350,6 +363,8 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                           refq_x=zq, refq_y=zq, refq_z=zq,
                           refid_x=zi, refid_y=zi, refid_z=zi,
                           reft=zt, qc1=zq1, qc2=zq2,
+                          rs=jnp.zeros((6,), jnp.int32),
+                          cols=jnp.zeros((3 * 256 + 8, 16), jnp.float32),
                           total_refs=jnp.int32(0),
                           total_pairs=jnp.int32(0), tris=tris)
     if bbox is not None:
@@ -380,7 +395,7 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
-        outs, reft, qc1, qc2, pairs, total = _build(
+        outs, reft, qc1, qc2, rs, cols, pairs, total = _build(
             tris, bbox_lo, bbox_hi, dims3, ref_capacity, march_tables)
         if not check:
             break
@@ -393,5 +408,5 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                       starts_x=sx, starts_y=sy, starts_z=sz,
                       refq_x=qx, refq_y=qy, refq_z=qz,
                       refid_x=ix, refid_y=iy, refid_z=iz,
-                      reft=reft, qc1=qc1, qc2=qc2,
+                      reft=reft, qc1=qc1, qc2=qc2, rs=rs, cols=cols,
                       total_refs=total, total_pairs=pairs, tris=tris)

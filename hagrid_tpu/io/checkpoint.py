@@ -19,7 +19,7 @@ from ..grid.uniform import UniformGrid
 
 _PACKET_FIELDS = ("bbox_lo", "bbox_hi", "starts_x", "starts_y",
                   "starts_z", "refq_x", "refq_y", "refq_z", "refid_x",
-                  "refid_y", "refid_z", "reft", "qc1", "qc2",
+                  "refid_y", "refid_z", "reft", "qc1", "qc2", "rs", "cols",
                   "total_refs", "total_pairs")
 
 

@@ -1,40 +1,46 @@
 """Planned-sweep packet traversal — flagship TPU tracer, round 2.
 
 Counterpart of the reference's traverse_grid hot loop (src/traverse.cu).
-Round 1's lesson: anything scalar inside a Mosaic kernel (per-slice rect
-math, window bookkeeping, dynamic VMEM scalar reads) runs at ~1 op/cycle
-and dominates; the dense panel tests themselves are cheap. So this
-design hoists ALL control flow out of the kernel:
+Round 1's lesson: anything scalar inside a Mosaic kernel runs at ~1
+op/cycle and dominates; round 2's lessons (measured, see memory notes):
+per-pair VPU math is the real cost once control flow is hoisted out, and
+fixed-size 128-ref panels waste ~70% of their lanes on refs outside the
+frustum rect. So the design hoists BOTH control flow and ref selection
+out of the kernel:
 
 1. **XLA planning (vectorized over ray tiles).** Rays are binned into
    TILE-sized packets by (major axis, sign), Morton/image coherent. Per
    round, each live tile advances one SLAB of S slices along its major
-   axis; the tile's frustum rect per slice (pure interval arithmetic on
-   per-tile scalars) is turned into contiguous panel-id RANGES via the
-   build-time qcol tables (grid/packet.py) — two gathers per rect row,
-   one expand_by_counts, no device-wide scatters. Rects are also
-   computed per quarter-tile; each range carries a 4-bit subtile mask
-   so the kernel can skip ray quarters that cannot see the panel.
+   axis; per-quarter frustum rects (pure interval arithmetic) turn into
+   REF-level ranges via the build-time `rs` tables — two gathers per
+   rect row, no device-wide scatters.
 
-2. **Pallas sweep kernel (zero scalar control).** grid = (n_items,),
-   DYNAMIC — sized by the traced item count, so empty rounds and slack
-   cost nothing. Scalar-prefetched item arrays drive the BlockSpec
-   index maps (tile revisits are free; panel blocks double-buffer
-   automatically). The body is dense exact-f32 Moller-Trumbore of the
-   masked ray quarters x 128 tris on the VPU plus lane-accumulator
-   updates; per-tile results flush when the item stream moves on.
+2. **Compaction gather.** The ranges' refs are gathered into a dense
+   per-round panel stream `G` as 4-ref GROUP rows (256B rows gather at
+   ~3 ns/ref vs ~35 ns for 64B rows on this runtime), padded to
+   512-ref blocks per tile. Every block the kernel sees is (nearly)
+   fully occupied with exactly the refs some ray of the tile might
+   hit; the <=3-ref round-out at range ends only adds real triangles
+   of the same layout (conservative-correct).
 
-3. **Device-side round loop.** The whole frame — every round's plan,
-   expand, sweep, merge — is ONE jitted computation with ZERO
-   device->host reads: on this environment a single D2H read
-   permanently degrades every later dispatch (measured ~24 ms/sync,
-   see memory notes), so rounds are statically unrolled and the item
-   budget is a static capacity with an overflow flag checked once at
-   the end of the frame, not a host-sized bucket.
+3. **Pallas sweep kernel (zero scalar control, static grid).** grid =
+   (n_blocks,); one prefetched tile-id array drives the BlockSpecs: the
+   rays' X matrix lives TRANSPOSED (rays on lanes) and G blocks are
+   (128, 16) (tris on sublanes), so neither side needs an in-kernel
+   relayout. The body is one dense exact-f32 Moller-Trumbore of
+   TILE rays x 128 gathered tris on the VPU plus lane-accumulator
+   updates; per-tile results flush when the block stream moves on.
 
-Numerics: the VPU path is plain f32 — exact parity with the oracle,
-unlike bf16 MXU passes (round 1 measured ~1% flipped hits at DEFAULT
-precision; 3-pass HIGH costs more than the 33-op VPU form).
+4. **Device-side round loop.** The whole frame — every round's plan,
+   gather, sweep, merge — is ONE jitted computation with ZERO
+   device->host reads (this runtime only synchronizes honestly after a
+   first D2H read; hot paths must not read back anyway). Rounds are
+   statically unrolled; chunk launches sit behind lax.cond so empty
+   rounds cost nothing; the block budget is a static capacity with an
+   overflow flag checked once at the end of the frame.
+
+Numerics: plain f32 VPU — exact parity with the oracle (bf16 MXU
+DEFAULT flips ~1% of hits; 3-pass HIGH costs more than the VPU form).
 """
 
 from __future__ import annotations
@@ -48,167 +54,151 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import Hits, Rays
 from ..grid.packet import PacketGrid, rays_to_x
-from .segment import expand_by_counts
+from .segment import expand_by_counts  # noqa: F401 (uniform/packet use)
 
 _BIG = 3e38
 _BIGID = 2 ** 30
-_SUB = 4        # ray quarters per tile (subtile mask granularity)
+_SUB = 4        # ray quarters per tile (tighter union rects)
 _RMAX = 8       # c-trimmed row ranges per (tile, slice); taller rects
 #                 fall back to one untrimmed multi-row tail range.
-_CHUNK = 131072  # items per pallas_call (1 x 512K SMEM prefetch)
-# Item encoding: one i32 per item — (tile << 20) | (panel << 4) | mask.
-# tile < 4096 (dummy tile included), panel < 65536, 4-bit subtile mask.
-_TSHIFT = 20
-_PSHIFT = 4
+_CHUNK = 4096    # 512-ref blocks per pallas_call (16K SMEM prefetch)
+_GCHUNK = 1024   # blocks per gated gather piece (131072 group rows)
+_G = 4           # refs per gathered group row (256B rows)
+_BREF = 128 * _G  # refs per block
 
 
 # ----------------------------------------------------------------------
-# Kernel
+# Kernel: dense MT of one gathered 128-ref block vs one ray tile.
+# Layout: rays on LANES (xT (16, tile) blocks), tris on SUBLANES
+# (G (128, 16) blocks) — both sides broadcast without relayouts.
 # ----------------------------------------------------------------------
-
-def _tile_bits(item):
-    return jax.lax.shift_right_logical(item, _TSHIFT)
-
 
 def _make_kernel(tile: int, nt: int):
-    sub = tile // _SUB
-
-    def kernel(items, x_ref, reft_ref, out_ref,
+    def kernel(tile_of, xt_ref, g_ref, out_ref,
                acc_t, acc_id, acc_u, acc_v):
         i = pl.program_id(0)
         n = pl.num_programs(0)
-        t_cur = _tile_bits(items[i])
-        mask = items[i] & 15
-        # First/last item of this tile's run, derived from neighbors
-        # (prefetched arrays live in 1M SMEM — every array counts, so
-        # tile/panel/mask share one packed i32).
-        first = (i == 0) | (t_cur != _tile_bits(items[jnp.maximum(
-            i - 1, 0)]))
-        last = (i == n - 1) | (t_cur != _tile_bits(items[jnp.minimum(
-            i + 1, n - 1)]))
+        t_cur = tile_of[i]
+        first = (i == 0) | (t_cur != tile_of[jnp.maximum(i - 1, 0)])
+        last = (i == n - 1) | (t_cur != tile_of[jnp.minimum(i + 1,
+                                                            n - 1)])
+        live = t_cur < nt
 
-        @pl.when(first & (t_cur < nt))
+        @pl.when(first & live)
         def _():
-            acc_t[:] = jnp.full((tile, 128), _BIG, jnp.float32)
-            acc_id[:] = jnp.full((tile, 128), -1.0, jnp.float32)
-            acc_u[:] = jnp.zeros((tile, 128), jnp.float32)
-            acc_v[:] = jnp.zeros((tile, 128), jnp.float32)
+            acc_t[:] = jnp.full((128, tile), _BIG, jnp.float32)
+            acc_id[:] = jnp.full((128, tile), -1.0, jnp.float32)
+            acc_u[:] = jnp.zeros((128, tile), jnp.float32)
+            acc_v[:] = jnp.zeros((128, tile), jnp.float32)
 
-        # Per-panel triangle rows, broadcast across lanes.
-        v0x = reft_ref[0:1, :]
-        v0y = reft_ref[1:2, :]
-        v0z = reft_ref[2:3, :]
-        e1x = reft_ref[3:4, :]
-        e1y = reft_ref[4:5, :]
-        e1z = reft_ref[5:6, :]
-        e2x = reft_ref[6:7, :]
-        e2y = reft_ref[7:8, :]
-        e2z = reft_ref[8:9, :]
-        ids = reft_ref[9:10, :]
-
-        def mt_quarter(s):
-            r0, r1 = s * sub, (s + 1) * sub
-            ox = x_ref[r0:r1, 1:2]
-            oy = x_ref[r0:r1, 2:3]
-            oz = x_ref[r0:r1, 3:4]
-            dx = x_ref[r0:r1, 4:5]
-            dy = x_ref[r0:r1, 5:6]
-            dz = x_ref[r0:r1, 6:7]
-            tmin = x_ref[r0:r1, 12:13]
-            tmax = x_ref[r0:r1, 13:14]
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            uu = tvx * pvx + tvy * pvy + tvz * pvz
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = dx * qvx + dy * qvy + dz * qvz
-            tt = e2x * qvx + e2y * qvy + e2z * qvz
-            inv = 1.0 / det      # det = 0 -> inf/NaN, self-filtered
-            t = tt * inv
-            u = uu * inv
-            v = vv * inv
-            # min-form barycentric test; NaN/inf compare false. The eps
-            # guard keeps near-parallel slivers from phantom far hits.
-            edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
-            ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
-                  & (t > tmin) & (t < tmax))
-            better = ok & (t < acc_t[r0:r1])
-            acc_t[r0:r1] = jnp.where(better, t, acc_t[r0:r1])
-            acc_id[r0:r1] = jnp.where(
-                better, jnp.broadcast_to(ids, (sub, 128)), acc_id[r0:r1])
-            acc_u[r0:r1] = jnp.where(better, u, acc_u[r0:r1])
-            acc_v[r0:r1] = jnp.where(better, v, acc_v[r0:r1])
-
-        for s in range(_SUB):
-            @pl.when(((mask >> s) & 1) != 0)
-            def _(s=s):
-                mt_quarter(s)
-
-        @pl.when(last & (t_cur < nt))
+        @pl.when(live)
         def _():
-            bt = jnp.min(acc_t[:], axis=1)
-            at_min = acc_t[:] == bt[:, None]
+            ox = xt_ref[1:2, :]
+            oy = xt_ref[2:3, :]
+            oz = xt_ref[3:4, :]
+            dx = xt_ref[4:5, :]
+            dy = xt_ref[5:6, :]
+            dz = xt_ref[6:7, :]
+            tmin = xt_ref[12:13, :]
+            tmax = xt_ref[13:14, :]
+            # The block holds _G interleaved 128-tri sets (one per ref
+            # position within the gathered 4-ref group rows); each set
+            # runs the same dense MT against the whole tile.
+            for s in range(_G):
+                o = s * 16
+                v0x = g_ref[:, o + 0:o + 1]
+                v0y = g_ref[:, o + 1:o + 2]
+                v0z = g_ref[:, o + 2:o + 3]
+                e1x = g_ref[:, o + 3:o + 4]
+                e1y = g_ref[:, o + 4:o + 5]
+                e1z = g_ref[:, o + 5:o + 6]
+                e2x = g_ref[:, o + 6:o + 7]
+                e2y = g_ref[:, o + 7:o + 8]
+                e2z = g_ref[:, o + 8:o + 9]
+                ids = g_ref[:, o + 9:o + 10]
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x        # (128, tile)
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = tvx * pvx + tvy * pvy + tvz * pvz
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = dx * qvx + dy * qvy + dz * qvz
+                tt = e2x * qvx + e2y * qvy + e2z * qvz
+                inv = 1.0 / det  # det = 0 -> inf/NaN, self-filtered
+                t = tt * inv
+                u = uu * inv
+                v = vv * inv
+                # min-form barycentric test; NaN/inf compare false. The
+                # eps guard keeps near-parallel slivers from phantom
+                # far hits.
+                edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+                ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
+                      & (t > tmin) & (t < tmax))
+                better = ok & (t < acc_t[:])
+                acc_t[:] = jnp.where(better, t, acc_t[:])
+                acc_id[:] = jnp.where(
+                    better, jnp.broadcast_to(ids, (128, tile)),
+                    acc_id[:])
+                acc_u[:] = jnp.where(better, u, acc_u[:])
+                acc_v[:] = jnp.where(better, v, acc_v[:])
+
+        @pl.when(last & live)
+        def _():
+            bt = jnp.min(acc_t[:], axis=0)
+            at_min = acc_t[:] == bt[None, :]
             idi = jax.lax.bitcast_convert_type(acc_id[:], jnp.int32)
             id_min = jnp.min(jnp.where(at_min & (idi >= 0), idi,
-                                       _BIGID), axis=1)
-            sel = at_min & (idi == id_min[:, None])
-            u_best = jnp.max(jnp.where(sel, acc_u[:], -_BIG), axis=1)
-            v_best = jnp.max(jnp.where(sel, acc_v[:], -_BIG), axis=1)
+                                       _BIGID), axis=0)
+            sel = at_min & (idi == id_min[None, :])
+            u_best = jnp.max(jnp.where(sel, acc_u[:], -_BIG), axis=0)
+            v_best = jnp.max(jnp.where(sel, acc_v[:], -_BIG), axis=0)
             found = (bt < _BIG) & (id_min < _BIGID)
-            out_ref[:, 0] = jnp.where(found, bt, _BIG)
-            out_ref[:, 1] = jax.lax.bitcast_convert_type(
+            out_ref[0, :] = jnp.where(found, bt, _BIG)
+            out_ref[1, :] = jax.lax.bitcast_convert_type(
                 jnp.where(found, id_min, -1), jnp.float32)
-            out_ref[:, 2] = jnp.where(found, u_best, 0.0)
-            out_ref[:, 3] = jnp.where(found, v_best, 0.0)
+            out_ref[2, :] = jnp.where(found, u_best, 0.0)
+            out_ref[3, :] = jnp.where(found, v_best, 0.0)
 
     return kernel
 
 
-def _sweep(xp_ext, reft, items, tile, interpret):
-    """One item-chunk sweep over a STATIC grid (a dynamic Mosaic grid
-    disables the block pipeline: measured 15us/item vs 1.8us static).
-    Dead items (tile bits == nt) are skipped by the kernel's pl.when
-    guards and revisit the dummy blocks, costing only bookkeeping."""
-    n_rows = xp_ext.shape[0]
-    nt = n_rows // tile - 1
-    grid = (items.shape[0],)
-
-    def panel_bits(v):
-        return jax.lax.shift_right_logical(v, _PSHIFT) & 0xFFFF
-
+def _sweep(xt_ext, g_round, tile_of, boff, tile, interpret):
+    """One block-chunk sweep over a STATIC grid (a dynamic Mosaic grid
+    disables the block pipeline: measured 15us/item vs 1.8us). Dead
+    blocks (tile_of == nt) revisit the dummy blocks and skip all vector
+    work."""
+    n_cols = xt_ext.shape[1]
+    nt = n_cols // tile - 1
+    grid = (tile_of.shape[0],)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, 16), lambda i, it: (_tile_bits(it[i]),
-                                                    0),
+            pl.BlockSpec((16, tile), lambda i, t: (0, t[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda i, it: (0,
-                                                   panel_bits(it[i])),
+            pl.BlockSpec((128, 16 * _G), lambda i, t: (i + boff, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 8),
-                               lambda i, it: (_tile_bits(it[i]), 0),
+        out_specs=pl.BlockSpec((8, tile), lambda i, t: (0, t[i]),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile, 128), jnp.float32),
-            pltpu.VMEM((tile, 128), jnp.float32),
-            pltpu.VMEM((tile, 128), jnp.float32),
-            pltpu.VMEM((tile, 128), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
         ],
     )
     return pl.pallas_call(
         _make_kernel(tile, nt),
-        out_shape=jax.ShapeDtypeStruct((n_rows, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(items, xp_ext, reft)
+    )(tile_of, xt_ext, g_round)
 
 
 # ----------------------------------------------------------------------
@@ -219,8 +209,8 @@ def _sweep(xp_ext, reft, items, tile, interpret):
 def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
     """Group rays by (major axis, sign) into tile-aligned segments via
     masked cumsums (counting sort; no device-wide lax.sort). Returns
-    (xp_ext, inv): the permuted X matrix with a trailing all-dead dummy
-    tile, and row -> original ray (-1 for padding)."""
+    (xp_ext (rows, 16), xt_ext (16, rows), inv) with a trailing
+    all-dead dummy tile; inv maps row -> original ray (-1 padding)."""
     x = rays_to_x(org, dir, tmin, tmax)
     n = x.shape[0]
     d = x[:, 4:7]
@@ -245,15 +235,14 @@ def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
     pos = offs[g] + ranks
 
     # Scatter a 1-int permutation, then GATHER the 16-float rows (a
-    # 64MB row scatter lowers poorly; the 4MB index scatter + row
-    # gather is ~10x cheaper). inv == -1 rows become the dead ray.
+    # 64MB row scatter lowers poorly). inv == -1 rows -> the dead ray.
     inv = jnp.full((n_pad + tile,), -1, jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     dead = jnp.zeros((16,), jnp.float32)
     dead = dead.at[0].set(1.0).at[1].set(-1e30).at[4].set(1.0)
     xp_ext = jnp.where((inv >= 0)[:, None],
                        x[jnp.maximum(inv, 0)], dead[None, :])
-    return xp_ext, inv[:n_pad]
+    return xp_ext, xp_ext.T, inv[:n_pad]
 
 
 def _tile_tabs(bbox_lo, bbox_hi, dims3):
@@ -343,10 +332,12 @@ def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile):
 # Round planning (all XLA, inside the frame jit)
 # ----------------------------------------------------------------------
 
-def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
+def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
           best_t, dims3, slab, any_hit):
-    """One slab's plan. Returns (range_start*16+submask, range_count)
-    flattened over (tile, slice, RMAX row slots + 1 tail slot)."""
+    """One slab's plan: per-tile frustum rect per slice, turned into
+    REF-level ranges via the rs tables (2 gathers per rect row).
+    Returns (range_start, range_count) flattened over
+    (tile, slice, RMAX row slots + 1 tail slot)."""
     axis = per_tile["axis"]
     step = per_tile["step"]
     nt = axis.shape[0]
@@ -372,7 +363,8 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
         & (ka[:, None] >= 0) & (ka[:, None] < n_a[:, None])
 
     # Frustum bounds per QUARTER tile (rays are Morton-ordered, so
-    # quarters are spatially coherent); full-tile bounds are the union.
+    # quarters are spatially coherent); the rect is the live union —
+    # quarters that terminate early stop widening it.
     def q(v):  # (nt, tile) -> (nt, SUB, tile/SUB)
         return v.reshape(nt, _SUB, -1)
 
@@ -393,11 +385,10 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
     t_lo0 = jnp.maximum(mnq(per_ray["enter"]), 0.0)
     t_cap = mxq(jnp.minimum(jnp.minimum(best_t, per_ray["tmax"]),
                             per_ray["leave"]))
-    live_tile = jnp.any(live, axis=1)
 
     # Slab slices: (nt, S); per-quarter per-slice t range and rect.
     ks = ka[:, None] + step[:, None] * jnp.arange(slab, dtype=jnp.int32)
-    k_ok = (ks >= 0) & (ks < n_a[:, None]) & live_tile[:, None]
+    k_ok = (ks >= 0) & (ks < n_a[:, None])
     kf = ks.astype(jnp.float32)
     pl0 = lo_a[:, None] + kf * cs_a[:, None]           # (nt, S)
     pl1 = pl0 + cs_a[:, None]
@@ -447,7 +438,7 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
     c0 = jnp.where(rect_ok, c0, 0)
     c1 = jnp.where(rect_ok, c1, 0)
 
-    # qcol flat indexing: per-layout base offsets + per-tile strides.
+    # rs flat indexing: per-layout base offsets + per-tile strides.
     qbase_list = []
     off = 0
     for a in range(3):
@@ -467,78 +458,78 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, qc1, qc2, ka,
     row_ok = (j_r <= b1[:, :, None]) & rect_ok[:, :, None]
     j_cl = jnp.minimum(j_r, n_b[:, None, None] - 1)
     k_cl = jnp.clip(ks, 0, n_a[:, None] - 1)
-    g1 = qc1[qidx(k_cl, j_cl, c0[:, :, None])]
-    g2 = qc2[qidx(k_cl, j_cl, c1[:, :, None] + 1)]
-    cnt = jnp.where(row_ok, jnp.maximum(g2 - g1 + 1, 0), 0)
+    g1 = rs[qidx(k_cl, j_cl, c0[:, :, None])]
+    g2 = rs[qidx(k_cl, j_cl, c1[:, :, None] + 1)]
 
     has_tail = rect_ok & (b1 - b0 + 1 > _RMAX)
     jt = jnp.minimum(b0 + _RMAX, n_b[:, None] - 1)
-    t1 = qc1[(qbase[:, None] + (k_cl * n_b[:, None] + jt)
-              * (n_c[:, None] + 1))]
-    t2 = qc2[(qbase[:, None] + (k_cl * n_b[:, None] + b1)
-              * (n_c[:, None] + 1) + n_c[:, None])]
-    cnt_t = jnp.where(has_tail, jnp.maximum(t2 - t1 + 1, 0), 0)
+    t1 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + jt)
+             * (n_c[:, None] + 1))]
+    t2 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + b1)
+             * (n_c[:, None] + 1) + n_c[:, None])]
 
-    # Subtile masks. Row slots: quarter sees the range iff its rect
-    # covers row j and overlaps the tile's col range (panel cols are a
-    # subset of [c0, c1], so this is conservative). Tail slot: quarter
-    # row-range overlaps the tail rows.
-    def bit(cond, s):
-        return cond.astype(jnp.int32) << s
-
-    mask_rows = jnp.zeros(j_r.shape, jnp.int32)
-    mask_tail = jnp.zeros(cnt_t.shape, jnp.int32)
-    for s in range(_SUB):
-        row_in = ((j_r >= b0q[:, s, :, None]) & (j_r <= b1q[:, s, :, None])
-                  & (c0q[:, s, :, None] <= c1[:, :, None])
-                  & (c1q[:, s, :, None] >= c0[:, :, None])
-                  & rect_okq[:, s, :, None])
-        mask_rows = mask_rows | bit(row_in, s)
-        tail_in = ((b1q[:, s, :] >= jt) & (b0q[:, s, :] <= b1)
-                   & rect_okq[:, s, :])
-        mask_tail = mask_tail | bit(tail_in, s)
-    cnt = jnp.where(mask_rows > 0, cnt, 0)
-    cnt_t = jnp.where(mask_tail > 0, cnt_t, 0)
-
-    starts = jnp.concatenate([g1 * 16 + mask_rows,
-                              (t1 * 16 + mask_tail)[:, :, None]],
-                             axis=2).reshape(-1)
-    counts = jnp.concatenate([cnt, cnt_t[:, :, None]], axis=2
-                             ).reshape(-1)
-    return starts, counts
+    # Emit in 4-ref GROUP units (the gather granularity): round the
+    # ref range outward — the extra <=3 refs at each end are real
+    # triangles of the same layout (conservative-correct).
+    lo_g = jnp.concatenate([g1, t1[:, :, None]], axis=2) // _G
+    hi_r = jnp.concatenate([g2, t2[:, :, None]], axis=2)
+    lo_r = jnp.concatenate([g1, t1[:, :, None]], axis=2)
+    hi_g = -(-hi_r // _G)
+    ok3 = jnp.concatenate([row_ok, has_tail[:, :, None]], axis=2)
+    cnt_g = jnp.where(ok3 & (hi_r > lo_r),
+                      jnp.maximum(hi_g - lo_g, 0), 0)
+    return lo_g.reshape(-1), cnt_g.reshape(-1)
 
 
-def _items(starts, counts, bmax, slab, nt):
-    """Expand panel ranges into ONE packed item array of static
-    capacity bmax: (tile << 20) | (panel << 4) | submask. Packing may
-    wrap into the sign bit for tile >= 2048 — decoding always uses
-    logical shifts. Invalid slots route to the dummy tile nt."""
-    src, rank, valid, total = expand_by_counts(counts, bmax)
-    pm = starts[src] + rank * 16          # (panel << 4) | mask
-    tile_of = src // (slab * (_RMAX + 1))
-    # nt << 20 can exceed int32 as a Python literal (nt >= 2048); shift
-    # on-device so it wraps into the sign bit like every other item.
-    dummy = jnp.left_shift(jnp.int32(nt), _TSHIFT)
-    items = jnp.where(valid,
-                      jnp.left_shift(tile_of, _TSHIFT) + pm, dummy)
-    return items, jnp.minimum(total, bmax), total
+def _items(starts, counts, nt, slab, bcap, dead_idx):
+    """Pack the ranges' 4-ref groups into a dense per-round stream:
+    gidx (bcap*128,) group rows to gather (dead_idx for padding),
+    tile_of (bcap,) the owning tile per 128-group block (nt for unused
+    blocks), n_blocks, and the unclamped block demand (overflow
+    detection). Each tile's segment is padded to a 128-group multiple
+    so blocks never straddle tiles."""
+    nr = slab * (_RMAX + 1)
+    ucap = bcap * 128
+    cnt2 = counts.reshape(nt, nr)
+    tile_tot = cnt2.sum(1)
+    tile_pad = -(-tile_tot // 128) * 128
+    tile_base = jnp.cumsum(tile_pad) - tile_pad
+    within = jnp.cumsum(cnt2, axis=1) - cnt2
+    roff = (tile_base[:, None] + within).reshape(-1)
+    demand = tile_base[-1] + tile_pad[-1]
+
+    markers = jnp.zeros((ucap,), jnp.int32).at[roff].add(1, mode="drop")
+    src = jnp.clip(jnp.cumsum(markers) - 1, 0, nt * nr - 1)
+    slot = jnp.arange(ucap, dtype=jnp.int32)
+    rank = slot - roff[src]
+    valid = (rank >= 0) & (rank < counts[src])
+    gidx = jnp.where(valid, starts[src] + rank, dead_idx)
+
+    n_blocks = jnp.minimum(demand // 128, bcap)
+    bmark = jnp.zeros((bcap,), jnp.int32).at[tile_base // 128].add(
+        1, mode="drop")
+    btile = jnp.clip(jnp.cumsum(bmark) - 1, 0, nt - 1)
+    tile_of = jnp.where(jnp.arange(bcap) < n_blocks, btile, nt)
+    return gidx, tile_of, n_blocks, demand
 
 
 def _merge(best, out_ext, tile_of):
     """Fold one sweep chunk's output into the running per-ray best.
-    Chunks may split a tile's item run; each partial flush merges
+    Chunks may split a tile's block run; each partial flush merges
     correctly because closest-hit is a min-reduction."""
     best_t, best_id, best_u, best_v = best
     nt, tile = best_t.shape
     touched = jnp.zeros((nt + 1,), jnp.bool_).at[tile_of].set(True)[:nt]
-    out3 = out_ext[:nt * tile].reshape(nt, tile, 8)
-    t_new = out3[..., 0]
-    id_new = jax.lax.bitcast_convert_type(out3[..., 1], jnp.int32)
+    t_new = out_ext[0, :nt * tile].reshape(nt, tile)
+    id_new = jax.lax.bitcast_convert_type(
+        out_ext[1, :nt * tile], jnp.int32).reshape(nt, tile)
     improved = touched[:, None] & (t_new < best_t)
     return (jnp.where(improved, t_new, best_t),
             jnp.where(improved, id_new, best_id),
-            jnp.where(improved, out3[..., 2], best_u),
-            jnp.where(improved, out3[..., 3], best_v))
+            jnp.where(improved,
+                      out_ext[2, :nt * tile].reshape(nt, tile), best_u),
+            jnp.where(improved,
+                      out_ext[3, :nt * tile].reshape(nt, tile), best_v))
 
 
 # ----------------------------------------------------------------------
@@ -548,9 +539,8 @@ def _merge(best, out_ext, tile_of):
 @functools.partial(jax.jit, static_argnames=(
     "dims3", "slab", "any_hit", "tile", "bmax", "max_rounds",
     "interpret"))
-def _frame(xp_ext, bbox_lo, bbox_hi, qc1, qc2,
-           reft, dims3, slab, any_hit, tile, bmax, max_rounds,
-           interpret):
+def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
+           dims3, slab, any_hit, tile, bmax, max_rounds, interpret):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
@@ -561,31 +551,44 @@ def _frame(xp_ext, bbox_lo, bbox_hi, qc1, qc2,
             jnp.zeros((nt, tile), jnp.float32))
     ka = per_tile["k0"]
     step = per_tile["step"]
+    cols_g = cols.reshape(-1, 16 * _G)     # 4-ref group rows (256B)
+    dead_idx = cols_g.shape[0] - 1         # all-zero tail rows
     overflow = jnp.int32(0)
     for _ in range(max_rounds):
         starts, counts = _plan(per_ray, per_tile, cs_tab, n_tab,
-                               lo_tab, qc1, qc2, ka, best[0], dims3,
+                               lo_tab, rs, ka, best[0], dims3,
                                slab, any_hit)
-        items, n_items, total = _items(starts, counts, bmax, slab, nt)
-        overflow = overflow | (total > bmax)
-        # Pow2 chunk ladder: a round with k items runs only the gated
-        # chunks covering it, so slack past n_items costs at most ~one
-        # chunk of cheap dead-item skips.
-        off = 0
-        w = 4096
-        while off < bmax:
-            w = min(w, bmax - off)
-            it_c = items[off:off + w]
+        gidx, tile_of, n_blocks, demand = _items(starts, counts, nt,
+                                                 slab, bmax, dead_idx)
+        overflow = overflow | (demand > bmax * 128)
+        # Gather in cond-gated pieces so round slack is never gathered
+        # (256B group rows gather at ~3ns/ref; the pieces are XLA ops
+        # inside the frame, launch-free).
+        g_round = jnp.zeros((bmax * 128, 16 * _G), jnp.float32)
+        for goff in range(0, bmax, _GCHUNK):
+            gw = min(_GCHUNK, bmax - goff)
 
-            def do_chunk(best, it_c=it_c):
-                out_ext = _sweep(xp_ext, reft, it_c, tile, interpret)
-                return _merge(best, out_ext, _tile_bits(it_c))
+            def do_gather(g, goff=goff, gw=gw):
+                piece = cols_g[gidx[goff * 128:(goff + gw) * 128]]
+                return jax.lax.dynamic_update_slice(
+                    g, piece, (goff * 128, 0))
 
-            # Empty chunks (and whole empty rounds) cost nothing.
-            best = jax.lax.cond(n_items > off, do_chunk,
+            g_round = jax.lax.cond(n_blocks > goff, do_gather,
+                                   lambda g: g, g_round)
+        # Sweep launches are fixed-count; unused blocks carry the dummy
+        # tile and skip all vector work (~0.4us each).
+        for off in range(0, bmax, _CHUNK):
+            w = min(_CHUNK, bmax - off)
+            t_c = tile_of[off:off + w]
+            g_c = jax.lax.slice_in_dim(g_round, off * 128,
+                                       (off + w) * 128)
+
+            def do_chunk(best, t_c=t_c, g_c=g_c):
+                out_ext = _sweep(xt_ext, g_c, t_c, 0, tile, interpret)
+                return _merge(best, out_ext, t_c)
+
+            best = jax.lax.cond(n_blocks > off, do_chunk,
                                 lambda b: b, best)
-            off += w
-            w = min(2 * w, _CHUNK)
         ka = ka + step * slab
     return best, overflow
 
@@ -601,34 +604,24 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     """Trace rays against a PacketGrid with the planned-sweep kernel.
 
     The frame runs as one jitted computation with no host syncs. If a
-    round selects more than `bmax` items, the surplus is dropped and
-    the device-side overflow flag is set (request it with
+    round demands more than `bmax` 128-ref blocks, the surplus is
+    dropped and the device-side overflow flag is set (request it with
     return_overflow=True, or raise bmax). On the CPU backend the kernel
     falls back to interpret mode (Mosaic is TPU-only)."""
     if jax.default_backend() == "cpu":
         interpret = True
     n = rays.count
     n_pad = (-(-n // tile) + 6) * tile
+    nt = n_pad // tile
     if bmax is None:
-        bmax = min(262144, max(2048, 16 * (n_pad // tile) * slab))
-    # Packed-item encoding limits (see _items): 12-bit tile, 16-bit
-    # panel. Trace more rays in several calls / raise `tile` if hit.
-    if n_pad // tile + 1 > 4095:
-        raise ValueError(
-            f"{n_pad // tile} ray tiles exceeds the 12-bit item "
-            f"encoding; raise tile= or split the ray batch")
-    if 3 * grid.panels_per_layout > 65536:
-        raise ValueError(
-            f"{3 * grid.panels_per_layout} panels exceeds the 16-bit "
-            f"item encoding; lower densities or ref_capacity")
-    xp_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin, rays.tmax,
-                            n_pad, tile)
+        bmax = min(8192, max(128, 4 * nt))
+    xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
+                                    rays.tmax, n_pad, tile)
 
     max_rounds = -(-max(d[0] for d in grid.dims3) // slab) + 1
-    best, overflow = _frame(xp_ext, grid.bbox_lo, grid.bbox_hi,
-                            grid.qc1, grid.qc2, grid.reft,
-                            grid.dims3, slab, any_hit, tile, bmax,
-                            max_rounds, interpret)
+    best, overflow = _frame(xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi,
+                            grid.rs, grid.cols, grid.dims3, slab,
+                            any_hit, tile, bmax, max_rounds, interpret)
 
     out_flat = jnp.stack(
         [best[0].reshape(-1),

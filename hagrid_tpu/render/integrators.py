@@ -79,16 +79,27 @@ def shadow(session, rays: Rays, hits, light_pos):
     return jnp.where(found & ~blocked, cos, 0.0)
 
 
+def _to_scanline(flat, width: int, height: int):
+    """Undo primary_rays block ordering (no-op when it fell back)."""
+    if width % 32 or height % 32:
+        return flat
+    from ..core.camera import block_index
+    import jax.numpy as jnp
+    return jnp.zeros_like(flat).at[
+        jnp.asarray(block_index(width, height))].set(flat)
+
+
 def render_ao(session, cam, width: int, height: int, seed: int = 0,
               n_samples: int = 4):
     """Primary + AO + shadow combined — BASELINE config #2 workload."""
     from ..core.camera import primary_rays
 
-    rays = primary_rays(cam, width, height)
+    rays = primary_rays(cam, width, height, order="block")
     hits = session.trace(rays)
     key = jax.random.PRNGKey(seed)
     ao = ambient_occlusion(session, rays, hits, key, n_samples=n_samples)
-    img = jnp.repeat(ao[:, None], 3, axis=1).reshape(height, width, 3)
+    img = jnp.repeat(_to_scanline(ao, width, height)[:, None],
+                     3, axis=1).reshape(height, width, 3)
     return img, hits
 
 
@@ -110,7 +121,8 @@ def path_trace(session, cam, width: int, height: int, seed: int = 0,
     for s in range(spp):
         key, kj = jax.random.split(key)
         jitter = jax.random.uniform(kj, (n, 2))
-        rays = primary_rays(cam, width, height, jitter=jitter)
+        rays = primary_rays(cam, width, height, jitter=jitter,
+                            order="block")
         throughput = jnp.ones((n,), jnp.float32)
         live = jnp.ones((n,), bool)
         for bounce in range(max_bounces):
@@ -129,5 +141,6 @@ def path_trace(session, cam, width: int, height: int, seed: int = 0,
             rays = _spawn(p, nrm, d, 0.0, tmax)
         # Rays still alive after max bounces contribute nothing (biased,
         # same cutoff policy as typical benchmark tracers).
-    img = (radiance / spp)[:, None].repeat(3, 1).reshape(height, width, 3)
+    img = (_to_scanline(radiance / spp, width, height)
+           )[:, None].repeat(3, 1).reshape(height, width, 3)
     return img
