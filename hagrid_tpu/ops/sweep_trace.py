@@ -614,7 +614,7 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     n_pad = (-(-n // tile) + 6) * tile
     nt = n_pad // tile
     if bmax is None:
-        bmax = min(8192, max(128, 4 * nt))
+        bmax = min(8192, max(128, 3 * nt))
     xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
                                     rays.tmax, n_pad, tile)
 
