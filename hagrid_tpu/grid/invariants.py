@@ -116,17 +116,16 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
     """Vectorized invariants for the packet grid (scales to Sponza-size
     scenes, unlike the per-voxel python loops above — VERDICT r1 §weak 6).
 
-    1. qcol tables are consistent panel maps: monotone within a row,
-       within-capacity, and layout-offset aligned.
-    2. Panel slots hold exactly their row's refs (id row of `reft`
-       matches a host-side recount of per-row ref totals).
-    3. Conservative completeness (sampled): every (tri, voxel) overlap
-       has the tri's id somewhere in the voxel's row panels.
+    1. rs tables are consistent ref maps: monotone within and across
+       rows, within capacity, layout-offset aligned.
+    2. Ref rows of `cols` carry valid triangle ids in every live span.
+    3. Conservative completeness (sampled): every (tri, voxel) exact
+       overlap has the tri's id somewhere in the voxel's row span.
     """
-    from .packet import PAD_A  # noqa: F401  (import proves same module)
+    from .uniform import tri_box_overlap
 
-    p_cap = grid.panels_per_layout
-    ids_all = np.asarray(grid.reft[9]).view(np.int32)
+    r_cap = grid.ref_capacity
+    ids_all = np.asarray(grid.cols[:, 9]).view(np.int32)
     n_tris = grid.tris.count
     rng = np.random.default_rng(seed)
 
@@ -135,41 +134,25 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
         da, db, dc = grid.dims3[a]
         nrows = da * db
         size = nrows * (dc + 1)
-        qc1 = np.asarray(grid.qc1[qoff:qoff + size]).reshape(
-            nrows, dc + 1) - a * p_cap
-        qc2 = np.asarray(grid.qc2[qoff:qoff + size]).reshape(
-            nrows, dc + 1) - a * p_cap
+        rs = np.asarray(grid.rs[qoff:qoff + size]).reshape(
+            nrows, dc + 1) - a * r_cap
         qoff += size
 
-        # 1: structure of the panel map.
-        assert np.all(qc1[:, 0] >= 0) and np.all(qc1 <= p_cap), \
-            f"layout {a}: qc1 out of range"
-        assert np.all(np.diff(qc1, axis=1) >= 0), \
-            f"layout {a}: qc1 not monotone within rows"
-        # qc2[c] is the panel of the last ref before column c: it must
-        # sit in [qc1[0]-1, qc1[c]].
-        assert np.all(qc2 <= qc1), f"layout {a}: qc2 > qc1"
-        assert np.all(qc2 >= qc1[:, :1] - 1), f"layout {a}: qc2 range"
+        # 1: structure of the ref map.
+        assert rs[0, 0] == 0 and np.all(rs >= 0) and np.all(rs <= r_cap)
+        assert np.all(np.diff(rs, axis=1) >= 0), \
+            f"layout {a}: rs not monotone within rows"
+        assert np.all(rs[1:, 0] == rs[:-1, -1]), \
+            f"layout {a}: row spans not contiguous"
 
-        # 2: per-row panel population matches the id row of reft.
-        ids = ids_all[a * p_cap * 128:(a + 1) * p_cap * 128]
-        pbase = qc1[:, 0]
-        pend = qc2[:, dc] + 1          # one past last panel of the row
-        counts = np.maximum(pend - pbase, 0)
-        # Live lanes per row: ids >= 0 within the row's panel span.
-        for r in rng.choice(nrows, size=min(nrows, 256), replace=False):
-            span = ids[pbase[r] * 128:pend[r] * 128]
-            live = span >= 0
-            # refs are a contiguous prefix of the row's panel span
-            n_live = int(live.sum())
-            assert np.all(live[:n_live]) and not np.any(live[n_live:]), \
-                f"layout {a} row {r}: live lanes not a prefix"
-            assert np.all(span[live] < n_tris)
+        # 2: live spans carry valid ids.
+        ids = ids_all[a * r_cap:(a + 1) * r_cap]
+        total = int(rs[-1, -1])
+        assert np.all(ids[:total] >= 0) and np.all(ids[:total] < n_tris)
 
         # 3: sampled completeness vs recomputed voxel ranges. The build
         # SAT-prunes (tri, cell) pairs, so membership is required only
         # where the exact overlap test passes for some cell of the row.
-        from .uniform import tri_box_overlap
         a1, a2 = (a + 1) % 3, (a + 2) % 3
         dims_xyz = [0, 0, 0]
         dims_xyz[a], dims_xyz[a1], dims_xyz[a2] = da, db, dc
@@ -184,12 +167,10 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
         v2h = v0h + np.asarray(grid.tris.e2)
         n_s = n_tris if sample_tris is None else min(n_tris, sample_tris)
         ts = rng.choice(n_tris, size=n_s, replace=False)
-        # Row membership sets, built lazily per needed row.
         row_sets = {}
         for t in ts:
             for k in range(lo[t, a], hi[t, a] + 1):
                 for j in range(lo[t, a1], hi[t, a1] + 1):
-                    # Exact overlap with any cell of the row's c-range?
                     ccols = np.arange(lo[t, a2], hi[t, a2] + 1)
                     vox = np.zeros((len(ccols), 3), np.float32)
                     vox[:, a], vox[:, a1], vox[:, a2] = k, j, ccols
@@ -203,7 +184,7 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
                         continue
                     r = k * db + j
                     if r not in row_sets:
-                        span = ids[pbase[r] * 128:pend[r] * 128]
-                        row_sets[r] = set(span[span >= 0].tolist())
+                        span = ids[rs[r, 0]:rs[r, -1]]
+                        row_sets[r] = set(span.tolist())
                     assert int(t) in row_sets[r], \
                         f"layout {a}: tri {t} missing from row {r}"

@@ -140,13 +140,14 @@ class PacketGrid:
     tris: Triangles
 
     @property
-    def panels_per_layout(self) -> int:
-        return self.reft.shape[1] // (3 * 128)
+    def ref_capacity(self) -> int:
+        return (self.cols.shape[0] - 8) // 3
 
     @property
-    def ref_capacity(self) -> int:
+    def panels_per_layout(self) -> int:
+        """Legacy (march_tables) row-aligned panel count per layout."""
         max_rows = max(d[0] * d[1] for d in self.dims3)
-        return (self.panels_per_layout - max_rows) * 128
+        return self.ref_capacity // 128 + max_rows
 
     @property
     def overflowed(self):
@@ -210,6 +211,15 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
     # Shared panel capacity so layout a's panels live at a fixed offset
     # a * p_cap: worst case one padded partial panel per grid row.
     max_rows = max(d[0] * d[1] for d in dims3)
+    # One fused per-tri attribute row [v0 e1 e2 idbits 0*6]: the
+    # per-layout ref tables then need ONE 64B-row gather each instead
+    # of three narrow ones (row gathers are latency-bound: ~35ns/row).
+    tri_t = jnp.concatenate(
+        [tris.v0, tris.e1, tris.e2,
+         jax.lax.bitcast_convert_type(
+             jnp.arange(max(tris.count, 1), dtype=jnp.int32),
+             jnp.float32)[:, None],
+         jnp.zeros((max(tris.count, 1), 6), jnp.float32)], axis=1)
 
     outs = []
     totals = []
@@ -224,8 +234,12 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
         counts = span[:, 0] * span[:, 1] * span[:, 2]
         tri_idx, rank, valid, total = expand_by_counts(counts,
                                                       ref_capacity)
-        s = span[tri_idx]
-        l = lo[tri_idx]
+        # One fused (lo, span) gather per pair (row gathers are
+        # latency-bound, so fewer wide rows beat many narrow ones).
+        lospan = jnp.concatenate([lo, span, jnp.zeros_like(lo[:, :2])],
+                                 axis=1)[tri_idx]
+        s = lospan[:, 3:6]
+        l = lospan[:, 0:3]
         dx = rank % s[:, 0]
         rem = rank // s[:, 0]
         dy = rem % s[:, 1]
@@ -241,9 +255,10 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
                          (bbox_hi[1] - bbox_lo[1]) / dims_xyz[1],
                          (bbox_hi[2] - bbox_lo[2]) / dims_xyz[2]])
         cell_lo = bbox_lo[None, :] + v.astype(jnp.float32) * csx[None, :]
-        tv0 = tris.v0[tri_idx]
-        sat = tri_box_overlap(tv0, tv0 + tris.e1[tri_idx],
-                              tv0 + tris.e2[tri_idx],
+        tvk = tri_t[tri_idx]        # one 64B-row gather: v0|e1|e2
+        tv0 = tvk[:, 0:3]
+        sat = tri_box_overlap(tv0, tv0 + tvk[:, 3:6],
+                              tv0 + tvk[:, 6:9],
                               cell_lo, cell_lo + csx[None, :])
         keep = valid & sat
         key = (v[:, a] * db + v[:, b]) * dc + v[:, c]
@@ -268,23 +283,22 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
         qc2 = (pbase[:, None] + (rel - 1) // 128 + axis * p_cap
                ).reshape(-1)
         rs = (s_log + axis * ref_capacity).reshape(-1)
-        # Per-ref classic MT columns, gathered into padded panel slots.
-        colsT = jnp.concatenate(
-            [jnp.where(live[:, None], tris.v0[srefs], 0.0),
-             jnp.where(live[:, None], tris.e1[srefs], 0.0),
-             jnp.where(live[:, None], tris.e2[srefs], 0.0),
-             jax.lax.bitcast_convert_type(
-                 jnp.where(live, srefs, -1).astype(jnp.int32),
-                 jnp.float32)[:, None],
-             jnp.zeros((ref_capacity, 6), jnp.float32)], axis=1)
-        row_of_p, q, pvalid, _ = expand_by_counts(pc, p_cap)
-        base = row_start[:-1][row_of_p] + q * 128     # i32[p_cap]
-        idx = base[:, None] + jnp.arange(128, dtype=jnp.int32)[None, :]
-        lane_live = (pvalid[:, None]
-                     & (idx < (row_start[:-1] + rc)[row_of_p][:, None]))
-        idxc = jnp.clip(idx, 0, ref_capacity - 1).reshape(-1)
-        reft = jnp.where(lane_live.reshape(-1)[:, None],
-                         colsT[idxc], 0.0).T           # [16, p_cap*128]
+        # Per-ref classic MT columns: ONE row gather from tri_t.
+        colsT = jnp.where(live[:, None], tri_t[srefs], 0.0)
+        if march_tables:
+            # Legacy row-aligned panel table (ops/packet_trace epoch).
+            row_of_p, q, pvalid, _ = expand_by_counts(pc, p_cap)
+            base = row_start[:-1][row_of_p] + q * 128  # i32[p_cap]
+            idx = base[:, None] + jnp.arange(128,
+                                             dtype=jnp.int32)[None, :]
+            lane_live = (pvalid[:, None]
+                         & (idx < (row_start[:-1]
+                                   + rc)[row_of_p][:, None]))
+            idxc = jnp.clip(idx, 0, ref_capacity - 1).reshape(-1)
+            reft = jnp.where(lane_live.reshape(-1)[:, None],
+                             colsT[idxc], 0.0).T       # [16, p_cap*128]
+        else:
+            reft = jnp.zeros((16, 128), jnp.float32)
 
         if march_tables:
             s3 = starts[:num_cells].reshape(da, db, dc)

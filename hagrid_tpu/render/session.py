@@ -103,6 +103,4 @@ class RenderSession:
                     f"empty={st['empty_cell_frac']:.2f}")
         g = self.grid
         # No device reads here: describe() runs before trace timing.
-        return (f"packet dims3={g.dims3} "
-                f"panels/layout={g.panels_per_layout} "
-                f"ref_capacity={g.ref_capacity}")
+        return (f"packet dims3={g.dims3} ref_capacity={g.ref_capacity}")
