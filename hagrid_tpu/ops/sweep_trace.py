@@ -54,7 +54,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import Hits, Rays
 from ..grid.packet import PacketGrid, rays_to_x
-from .segment import expand_by_counts  # noqa: F401 (uniform/packet use)
 
 _BIG = 3e38
 _BIGID = 2 ** 30
