@@ -177,6 +177,9 @@ def main():
         # Deferred validity checks (the hot path never reads back).
         assert not bool(jax.device_get(session.grid.overflowed)), \
             "packet grid ref capacity overflowed; raise ref_capacity"
+        if session.trace_overflow is not None:
+            assert not bool(jax.device_get(session.trace_overflow)), \
+                "sweep block budget overflowed during tracing; raise bmax"
 
     print(json.dumps({
         "metric": metric,

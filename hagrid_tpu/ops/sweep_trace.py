@@ -497,12 +497,21 @@ def _items(starts, counts, nt, slab, bcap, dead_idx):
     roff = (tile_base[:, None] + within).reshape(-1)
     demand = tile_base[-1] + tile_pad[-1]
 
-    markers = jnp.zeros((ucap,), jnp.int32).at[roff].add(1, mode="drop")
-    src = jnp.clip(jnp.cumsum(markers) - 1, 0, nt * nr - 1)
+    # Per-slot (start - roff) and range-end via scatter-delta + cumsum
+    # forward fill: piecewise-constant per range, NO per-slot gathers
+    # (3x ucap row-gathers measured ~30ms/round at bcap 6144). Stacked
+    # deltas of empty ranges telescope to the last range's value.
+    sr = starts - roff
+    ends = roff + counts
+    d_sr = jnp.diff(sr, prepend=0)
+    d_end = jnp.diff(ends, prepend=0)
+    sr_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
+        d_sr, mode="drop"))
+    end_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
+        d_end, mode="drop"))
     slot = jnp.arange(ucap, dtype=jnp.int32)
-    rank = slot - roff[src]
-    valid = (rank >= 0) & (rank < counts[src])
-    gidx = jnp.where(valid, starts[src] + rank, dead_idx)
+    valid = slot < end_ff
+    gidx = jnp.where(valid, slot + sr_ff, dead_idx)
 
     n_blocks = jnp.minimum(demand // 128, bcap)
     bmark = jnp.zeros((bcap,), jnp.int32).at[tile_base // 128].add(
@@ -613,7 +622,7 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     n_pad = (-(-n // tile) + 6) * tile
     nt = n_pad // tile
     if bmax is None:
-        bmax = min(8192, max(128, 3 * nt))
+        bmax = min(12288, max(128, 6 * nt))
     xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
                                     rays.tmax, n_pad, tile)
 

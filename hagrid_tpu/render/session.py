@@ -34,6 +34,10 @@ class RenderSession:
     structure: str  # "packet" (flagship) | "irregular" | "uniform"
     grid: object
     bbox: tuple | None = None  # host-side scene bounds (packet rebuilds)
+    # Device scalar: OR of the sweep tracer's block-budget overflow
+    # flags since session start. Never read on the hot path; bench
+    # checks it once at the end (D2H reads are deferred by design).
+    trace_overflow: object = None
 
     @staticmethod
     def create(tris: Triangles, params: BuildParams | None = None,
@@ -87,7 +91,11 @@ class RenderSession:
         if self.structure == "irregular":
             return irregular.trace_irregular_fast(self.grid, rays,
                                                   any_hit=any_hit)
-        return trace_sweep(self.grid, rays, any_hit=any_hit)
+        hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
+                                return_overflow=True)
+        self.trace_overflow = ovf if self.trace_overflow is None \
+            else self.trace_overflow | ovf
+        return hits
 
     def describe(self) -> str:
         if self.structure == "uniform":
