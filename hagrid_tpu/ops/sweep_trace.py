@@ -622,7 +622,10 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     n_pad = (-(-n // tile) + 6) * tile
     nt = n_pad // tile
     if bmax is None:
-        bmax = min(12288, max(128, 6 * nt))
+        # Incoherent (any-hit) waves have far wider frusta per tile;
+        # budget slack only costs gated-chunk skips, so scale up.
+        scale = 12 if any_hit else 6
+        bmax = min(24576 if any_hit else 12288, max(128, scale * nt))
     xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
                                     rays.tmax, n_pad, tile)
 
