@@ -33,14 +33,31 @@ class Camera:
         return eye, fwd, right, up
 
 
+def _morton_deinterleave(within, bits: int = 5):
+    """Split a 2*bits Morton code into (x, y). Pure index arithmetic
+    (works for numpy and jnp inputs alike, stays fusable on device).
+
+    Morton order within a block makes every power-of-two subsegment of
+    the ray stream a square-ish pixel rectangle: a 512-ray tile is
+    32x16, its 128-ray quarter 16x8 — the planner's frusta then shrink
+    with the subdivision instead of degenerating into scanline strips."""
+    x = within * 0
+    y = within * 0
+    for k in range(bits):
+        x = x | (((within >> (2 * k)) & 1) << k)
+        y = y | (((within >> (2 * k + 1)) & 1) << k)
+    return x, y
+
+
 def block_index(width: int, height: int, block: int = 32) -> np.ndarray:
     """Pixel index (y * width + x) of ray i in block order — the host-side
     inverse map for reassembling images from block-ordered hit arrays."""
     bpr = width // block
     i = np.arange(width * height)
     bi, within = i // (block * block), i % (block * block)
-    gx = (bi % bpr) * block + within % block
-    gy = (bi // bpr) * block + within // block
+    wx, wy = _morton_deinterleave(within)
+    gx = (bi % bpr) * block + wx
+    gy = (bi // bpr) * block + wy
     return gy * width + gx
 
 
@@ -49,8 +66,9 @@ def primary_rays(cam: Camera, width: int, height: int,
     """Generate width*height primary rays.
 
     order: "scanline" (y-major; image writers expect this) or "block"
-    (32x32 image tiles, contiguous per tile) — block order gives the
-    packet tracer narrow frusta; reassemble images with `block_index`.
+    (32x32 image tiles, contiguous per tile, Morton-ordered within the
+    tile) — block order gives the packet tracer narrow frusta at every
+    power-of-two tile subdivision; reassemble images with `block_index`.
     Falls back to scanline when the size isn't a multiple of 32.
     jitter: optional f32[H*W, 2] subpixel offsets in [0,1) for
     antialiasing / path tracing; defaults to pixel centers.
@@ -66,8 +84,9 @@ def primary_rays(cam: Camera, width: int, height: int,
         i = jnp.arange(width * height, dtype=jnp.int32)
         bi = i // (b * b)
         within = i % (b * b)
-        gx = ((bi % bpr) * b + within % b).astype(jnp.float32)
-        gy = ((bi // bpr) * b + within // b).astype(jnp.float32)
+        wx, wy = _morton_deinterleave(within)
+        gx = ((bi % bpr) * b + wx).astype(jnp.float32)
+        gy = ((bi // bpr) * b + wy).astype(jnp.float32)
     else:
         px = jnp.arange(width, dtype=jnp.float32)
         py = jnp.arange(height, dtype=jnp.float32)

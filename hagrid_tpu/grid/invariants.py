@@ -125,7 +125,8 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
     from .uniform import tri_box_overlap
 
     r_cap = grid.ref_capacity
-    ids_all = np.asarray(grid.cols[:, 9]).view(np.int32)
+    # Col 9 is the tri id as a float VALUE (grid/packet.py docstring).
+    ids_all = np.asarray(grid.cols[:, 9]).astype(np.int32)
     n_tris = grid.tris.count
     rng = np.random.default_rng(seed)
 
@@ -183,8 +184,15 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
                     if not m.any():
                         continue
                     r = k * db + j
-                    if r not in row_sets:
-                        span = ids[rs[r, 0]:rs[r, -1]]
-                        row_sets[r] = set(span.tolist())
-                    assert int(t) in row_sets[r], \
-                        f"layout {a}: tri {t} missing from row {r}"
+                    # Column-trimmed membership: the tracer gathers
+                    # ids[rs[r, c0]:rs[r, c1 + 1]], so the tri must sit
+                    # in each overlapping COLUMN's span, not merely
+                    # somewhere in the row (ADVICE r2 #5).
+                    for c in ccols[m]:
+                        key = (r, int(c))
+                        if key not in row_sets:
+                            row_sets[key] = set(
+                                ids[rs[r, c]:rs[r, c + 1]].tolist())
+                        assert int(t) in row_sets[key], \
+                            f"layout {a}: tri {t} missing from row {r} " \
+                            f"column {c}"

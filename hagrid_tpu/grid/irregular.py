@@ -657,8 +657,9 @@ def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
     if tris.count == 0:  # degenerate empty scene: no rows to gather
         ref_tris = jnp.zeros((tid.shape[0], 12), jnp.float32)
     else:
-        idb = jax.lax.bitcast_convert_type(grid.ref_ids.astype(jnp.int32),
-                                           jnp.float32)
+        # Id as float VALUE (exact below 2^24 tris) — bit patterns of
+        # small ids are denormals that float ops flush to zero.
+        idb = grid.ref_ids.astype(jnp.float32)
         pad = jnp.zeros((tid.shape[0], 2), jnp.float32)
         ref_tris = jnp.concatenate([
             tris.v0[tid], tris.e1[tid], tris.e2[tid], idb[:, None], pad],

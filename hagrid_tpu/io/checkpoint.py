@@ -17,9 +17,7 @@ from ..grid.irregular import IrregularGrid
 from ..grid.packet import PacketGrid
 from ..grid.uniform import UniformGrid
 
-_PACKET_FIELDS = ("bbox_lo", "bbox_hi", "starts_x", "starts_y",
-                  "starts_z", "refq_x", "refq_y", "refq_z", "refid_x",
-                  "refid_y", "refid_z", "reft", "qc1", "qc2", "rs", "cols",
+_PACKET_FIELDS = ("bbox_lo", "bbox_hi", "rs", "cols",
                   "total_refs", "total_pairs")
 
 

@@ -49,6 +49,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,6 +57,7 @@ from ..core.types import Hits, Rays
 from ..grid.packet import PacketGrid, rays_to_x
 
 _BIG = 3e38
+_BIG_BITS = int(np.float32(3e38).view(np.int32))  # bit pattern of _BIG
 _BIGID = 2 ** 30
 _SUB = 4        # ray quarters per tile (tighter union rects)
 _RMAX = 8       # c-trimmed row ranges per (tile, slice); taller rects
@@ -73,8 +75,8 @@ _BREF = 128 * _G  # refs per block
 # ----------------------------------------------------------------------
 
 def _make_kernel(tile: int, nt: int):
-    def kernel(tile_of, xt_ref, g_ref, out_ref,
-               acc_t, acc_id, acc_u, acc_v):
+    def kernel(tile_of, tminb, xt_ref, g_ref, out_ref,
+               acc_t, acc_id, acc_u, acc_v, acc_bt):
         i = pl.program_id(0)
         n = pl.num_programs(0)
         t_cur = tile_of[i]
@@ -85,12 +87,29 @@ def _make_kernel(tile: int, nt: int):
 
         @pl.when(first & live)
         def _():
-            acc_t[:] = jnp.full((128, tile), _BIG, jnp.float32)
+            # Seed the t accumulator with the tile's prior-round best
+            # (xt row 14; -BIG for dead lanes) so the early-out below
+            # also fires for work preceding already-found hits. Seeds
+            # carry id -1, so they can never flush as hits themselves.
+            best = xt_ref[14:15, :]
+            acc_t[:] = jnp.broadcast_to(best, (128, tile))
             acc_id[:] = jnp.full((128, tile), -1.0, jnp.float32)
             acc_u[:] = jnp.zeros((128, tile), jnp.float32)
             acc_v[:] = jnp.zeros((128, tile), jnp.float32)
+            acc_bt[0:1, :] = best
 
-        @pl.when(live)
+        # In-kernel early termination (the reference hot loop's
+        # `hit.t <= t_exit` break, at block granularity): every ref in
+        # this block lies in a slice whose tile-entry t is >= thr, so
+        # if every ray's running best is already <= thr nothing here
+        # can improve — skip the whole MT body. Compared in int space:
+        # both sides are bit patterns of non-negative f32, where int
+        # order == float order.
+        bt_bits = jax.lax.bitcast_convert_type(acc_bt[0:1, :],
+                                               jnp.int32)
+        done = jnp.all(bt_bits <= tminb[i])
+
+        @pl.when(live & ~done)
         def _():
             ox = xt_ref[1:2, :]
             oy = xt_ref[2:3, :]
@@ -145,12 +164,15 @@ def _make_kernel(tile: int, nt: int):
                     acc_id[:])
                 acc_u[:] = jnp.where(better, u, acc_u[:])
                 acc_v[:] = jnp.where(better, v, acc_v[:])
+            acc_bt[0:1, :] = jnp.min(acc_t[:], axis=0, keepdims=True)
 
         @pl.when(last & live)
         def _():
             bt = jnp.min(acc_t[:], axis=0)
             at_min = acc_t[:] == bt[None, :]
-            idi = jax.lax.bitcast_convert_type(acc_id[:], jnp.int32)
+            # Ids are float VALUES (exact below 2^24; bit patterns get
+            # denormal-flushed by float ops — see grid/packet.py).
+            idi = acc_id[:].astype(jnp.int32)
             id_min = jnp.min(jnp.where(at_min & (idi >= 0), idi,
                                        _BIGID), axis=0)
             sel = at_min & (idi == id_min[None, :])
@@ -158,38 +180,40 @@ def _make_kernel(tile: int, nt: int):
             v_best = jnp.max(jnp.where(sel, acc_v[:], -_BIG), axis=0)
             found = (bt < _BIG) & (id_min < _BIGID)
             out_ref[0, :] = jnp.where(found, bt, _BIG)
-            out_ref[1, :] = jax.lax.bitcast_convert_type(
-                jnp.where(found, id_min, -1), jnp.float32)
+            out_ref[1, :] = jnp.where(found, id_min,
+                                      -1).astype(jnp.float32)
             out_ref[2, :] = jnp.where(found, u_best, 0.0)
             out_ref[3, :] = jnp.where(found, v_best, 0.0)
 
     return kernel
 
 
-def _sweep(xt_ext, g_round, tile_of, boff, tile, interpret):
+def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, interpret):
     """One block-chunk sweep over a STATIC grid (a dynamic Mosaic grid
     disables the block pipeline: measured 15us/item vs 1.8us). Dead
     blocks (tile_of == nt) revisit the dummy blocks and skip all vector
-    work."""
+    work; live blocks whose rays all terminated before the block's
+    slice (tminb) skip the MT body."""
     n_cols = xt_ext.shape[1]
     nt = n_cols // tile - 1
     grid = (tile_of.shape[0],)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, tile), lambda i, t: (0, t[i]),
+            pl.BlockSpec((16, tile), lambda i, t, tb: (0, t[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 16 * _G), lambda i, t: (i + boff, 0),
+            pl.BlockSpec((128, 16 * _G), lambda i, t, tb: (i + boff, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, tile), lambda i, t: (0, t[i]),
+        out_specs=pl.BlockSpec((8, tile), lambda i, t, tb: (0, t[i]),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((128, tile), jnp.float32),
             pltpu.VMEM((128, tile), jnp.float32),
             pltpu.VMEM((128, tile), jnp.float32),
             pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((8, tile), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -197,7 +221,7 @@ def _sweep(xt_ext, g_round, tile_of, boff, tile, interpret):
         out_shape=jax.ShapeDtypeStruct((8, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_of, xt_ext, g_round)
+    )(tile_of, tminb, xt_ext, g_round)
 
 
 # ----------------------------------------------------------------------
@@ -242,6 +266,24 @@ def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
     xp_ext = jnp.where((inv >= 0)[:, None],
                        x[jnp.maximum(inv, 0)], dead[None, :])
     return xp_ext, xp_ext.T, inv[:n_pad]
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "tile"))
+def _pad_coherent(org, dir, tmin, tmax, n_pad, tile):
+    """Bin-free packet layout for rays that are already coherent (e.g.
+    block-Morton primaries): keep ray order, pad with dead rays, append
+    the all-dead dummy tile. Skips _bin_rays' 1M-row permutation gather
+    (~29 ms/frame measured). Tiles need not be (axis, sign)-pure: the
+    per-tile axis comes from ray 0 and stray rays only widen that
+    tile's rects (correct, just less efficient), so callers should only
+    use this for camera-coherent waves."""
+    x = rays_to_x(org, dir, tmin, tmax)
+    n = x.shape[0]
+    dead = jnp.zeros((16,), jnp.float32)
+    dead = dead.at[0].set(1.0).at[1].set(-1e30).at[4].set(1.0)
+    pad = jnp.broadcast_to(dead, (n_pad + tile - n, 16))
+    xp_ext = jnp.concatenate([x, pad], axis=0)
+    return xp_ext, xp_ext.T
 
 
 def _tile_tabs(bbox_lo, bbox_hi, dims3):
@@ -335,8 +377,10 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
           best_t, dims3, slab, any_hit):
     """One slab's plan: per-tile frustum rect per slice, turned into
     REF-level ranges via the rs tables (2 gathers per rect row).
-    Returns (range_start, range_count) flattened over
-    (tile, slice, RMAX row slots + 1 tail slot)."""
+    Returns (range_start, range_count, thr_bits) flattened over
+    (tile, slice, RMAX row slots + 1 tail slot); thr_bits is the i32
+    bit pattern of the slice's tile-entry t (the kernel's early-out
+    threshold: no ref of the slot can hit earlier than it)."""
     axis = per_tile["axis"]
     step = per_tile["step"]
     nt = axis.shape[0]
@@ -477,16 +521,29 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     ok3 = jnp.concatenate([row_ok, has_tail[:, :, None]], axis=2)
     cnt_g = jnp.where(ok3 & (hi_r > lo_r),
                       jnp.maximum(hi_g - lo_g, 0), 0)
-    return lo_g.reshape(-1), cnt_g.reshape(-1)
+
+    # Early-out thresholds: closest-hit slots can't improve a ray once
+    # its best <= the slice's tile-entry t (min over ok quarters of tl,
+    # which is >= 0, so int bit order == float order). Any-hit is done
+    # the moment any hit exists: threshold = largest float < _BIG.
+    if any_hit:
+        thr = jnp.full(cnt_g.shape, _BIG_BITS - 1, jnp.int32)
+    else:
+        t_thr = jnp.min(jnp.where(rect_okq, tl, _BIG), axis=1)  # (nt,S)
+        thr = jnp.broadcast_to(
+            jax.lax.bitcast_convert_type(t_thr, jnp.int32)[:, :, None],
+            cnt_g.shape)
+    return lo_g.reshape(-1), cnt_g.reshape(-1), thr.reshape(-1)
 
 
-def _items(starts, counts, nt, slab, bcap, dead_idx):
+def _items(starts, counts, thr, nt, slab, bcap, dead_idx):
     """Pack the ranges' 4-ref groups into a dense per-round stream:
     gidx (bcap*128,) group rows to gather (dead_idx for padding),
     tile_of (bcap,) the owning tile per 128-group block (nt for unused
-    blocks), n_blocks, and the unclamped block demand (overflow
-    detection). Each tile's segment is padded to a 128-group multiple
-    so blocks never straddle tiles."""
+    blocks), tminb (bcap,) the per-block early-out threshold (min of
+    its rows' slot thresholds, i32 f32-bits), n_blocks, and the
+    unclamped block demand (overflow detection). Each tile's segment is
+    padded to a 128-group multiple so blocks never straddle tiles."""
     nr = slab * (_RMAX + 1)
     ucap = bcap * 128
     cnt2 = counts.reshape(nt, nr)
@@ -497,41 +554,55 @@ def _items(starts, counts, nt, slab, bcap, dead_idx):
     roff = (tile_base[:, None] + within).reshape(-1)
     demand = tile_base[-1] + tile_pad[-1]
 
-    # Per-slot (start - roff) and range-end via scatter-delta + cumsum
+    # Per-slot (start - roff) and threshold via scatter-delta + cumsum
     # forward fill: piecewise-constant per range, NO per-slot gathers
     # (3x ucap row-gathers measured ~30ms/round at bcap 6144). Stacked
     # deltas of empty ranges telescope to the last range's value.
     sr = starts - roff
-    ends = roff + counts
     d_sr = jnp.diff(sr, prepend=0)
-    d_end = jnp.diff(ends, prepend=0)
+    d_thr = jnp.diff(thr, prepend=0)
     sr_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
         d_sr, mode="drop"))
-    end_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
-        d_end, mode="drop"))
-    slot = jnp.arange(ucap, dtype=jnp.int32)
-    valid = slot < end_ff
-    gidx = jnp.where(valid, slot + sr_ff, dead_idx)
+    thr_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
+        d_thr, mode="drop"))
+    # Conservative per-block threshold: min over the block's rows
+    # (slice entry t is usually monotone within a tile, but quarters
+    # dropping in/out of the rect union can break that; min is always
+    # safe). Pad rows carry a stale neighbor threshold — also safe.
+    tminb = thr_ff.reshape(bcap, 128).min(axis=1)
 
     n_blocks = jnp.minimum(demand // 128, bcap)
     bmark = jnp.zeros((bcap,), jnp.int32).at[tile_base // 128].add(
         1, mode="drop")
     btile = jnp.clip(jnp.cumsum(bmark) - 1, 0, nt - 1)
     tile_of = jnp.where(jnp.arange(bcap) < n_blocks, btile, nt)
-    return gidx, tile_of, n_blocks, demand
+    # Row validity from the owner tile's segment end (cheap (bcap,)
+    # gathers instead of a third ucap-wide forward-fill cumsum): pad
+    # rows within a block and whole blocks past the demand both fall
+    # beyond their owner's end.
+    own_end = (tile_base + tile_tot)[jnp.minimum(btile, nt - 1)]
+    slot = (jnp.arange(bcap, dtype=jnp.int32) * 128)[:, None] \
+        + jnp.arange(128, dtype=jnp.int32)[None, :]
+    valid = slot < own_end[:, None]
+    gidx = jnp.where(valid, slot + sr_ff.reshape(bcap, 128), dead_idx)
+    return gidx.reshape(-1), tile_of, tminb, n_blocks, demand
 
 
 def _merge(best, out_ext, tile_of):
     """Fold one sweep chunk's output into the running per-ray best.
     Chunks may split a tile's block run; each partial flush merges
-    correctly because closest-hit is a min-reduction."""
+    correctly because closest-hit is a min-reduction. Exact-t ties
+    prefer the smaller tri id (same rule as the in-kernel flush), so
+    results do not depend on where chunk boundaries fall."""
     best_t, best_id, best_u, best_v = best
     nt, tile = best_t.shape
     touched = jnp.zeros((nt + 1,), jnp.bool_).at[tile_of].set(True)[:nt]
     t_new = out_ext[0, :nt * tile].reshape(nt, tile)
-    id_new = jax.lax.bitcast_convert_type(
-        out_ext[1, :nt * tile], jnp.int32).reshape(nt, tile)
-    improved = touched[:, None] & (t_new < best_t)
+    id_new = out_ext[1, :nt * tile].astype(jnp.int32).reshape(nt, tile)
+    improved = touched[:, None] & (
+        (t_new < best_t)
+        | ((t_new == best_t) & (id_new >= 0)
+           & ((id_new < best_id) | (best_id < 0))))
     return (jnp.where(improved, t_new, best_t),
             jnp.where(improved, id_new, best_id),
             jnp.where(improved,
@@ -553,7 +624,11 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
                                     lo_tab, bbox_lo, bbox_hi, tile)
-    best = (jnp.full((nt, tile), _BIG, jnp.float32),
+    # Untraceable lanes (padding, and tmax<=0 "masked dead" secondary
+    # rays) get best = -BIG so the kernel's all-lanes-done early-out
+    # can still fire for their tiles; they can never produce a hit.
+    traceable = xp_ext[:nt * tile, 13].reshape(nt, tile) > 0
+    best = (jnp.where(traceable, _BIG, -_BIG),
             jnp.full((nt, tile), -1, jnp.int32),
             jnp.zeros((nt, tile), jnp.float32),
             jnp.zeros((nt, tile), jnp.float32))
@@ -563,12 +638,19 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
     dead_idx = cols_g.shape[0] - 1         # all-zero tail rows
     overflow = jnp.int32(0)
     for _ in range(max_rounds):
-        starts, counts = _plan(per_ray, per_tile, cs_tab, n_tab,
-                               lo_tab, rs, ka, best[0], dims3,
-                               slab, any_hit)
-        gidx, tile_of, n_blocks, demand = _items(starts, counts, nt,
-                                                 slab, bmax, dead_idx)
+        starts, counts, thr = _plan(per_ray, per_tile, cs_tab, n_tab,
+                                    lo_tab, rs, ka, best[0], dims3,
+                                    slab, any_hit)
+        gidx, tile_of, tminb, n_blocks, demand = _items(
+            starts, counts, thr, nt, slab, bmax, dead_idx)
         overflow = overflow | (demand > bmax * 128)
+        # Kernel seed row: current best per binned lane (dummy tile
+        # keeps -BIG so its blocks are skipped outright).
+        xt_round = jax.lax.dynamic_update_slice(
+            xt_ext,
+            jnp.concatenate([best[0].reshape(1, -1),
+                             jnp.full((1, tile), -_BIG)], axis=1),
+            (14, 0))
         # Gather in cond-gated pieces so round slack is never gathered
         # (256B group rows gather at ~3ns/ref; the pieces are XLA ops
         # inside the frame, launch-free).
@@ -588,11 +670,13 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
         for off in range(0, bmax, _CHUNK):
             w = min(_CHUNK, bmax - off)
             t_c = tile_of[off:off + w]
+            tb_c = tminb[off:off + w]
             g_c = jax.lax.slice_in_dim(g_round, off * 128,
                                        (off + w) * 128)
 
-            def do_chunk(best, t_c=t_c, g_c=g_c):
-                out_ext = _sweep(xt_ext, g_c, t_c, 0, tile, interpret)
+            def do_chunk(best, t_c=t_c, tb_c=tb_c, g_c=g_c):
+                out_ext = _sweep(xt_round, g_c, t_c, tb_c, 0, tile,
+                                 interpret)
                 return _merge(best, out_ext, t_c)
 
             best = jax.lax.cond(n_blocks > off, do_chunk,
@@ -608,50 +692,67 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
 def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                 interpret: bool = False, tile: int = 512,
                 slab: int = 16, bmax: int | None = None,
-                return_overflow: bool = False):
+                return_overflow: bool = False,
+                coherent: bool = False):
     """Trace rays against a PacketGrid with the planned-sweep kernel.
 
     The frame runs as one jitted computation with no host syncs. If a
     round demands more than `bmax` 128-ref blocks, the surplus is
     dropped and the device-side overflow flag is set (request it with
-    return_overflow=True, or raise bmax). On the CPU backend the kernel
-    falls back to interpret mode (Mosaic is TPU-only)."""
+    return_overflow=True, or raise bmax). coherent=True skips the
+    (axis, sign) binning permutation for waves that are already
+    direction-coherent in order (camera primaries): measured ~29 ms of
+    a 1M-ray frame. On the CPU backend the kernel falls back to
+    interpret mode (Mosaic is TPU-only)."""
     if jax.default_backend() == "cpu":
         interpret = True
     n = rays.count
-    n_pad = (-(-n // tile) + 6) * tile
+    n_pad = (-(-n // tile) + (0 if coherent else 6)) * tile
     nt = n_pad // tile
     if bmax is None:
         # Incoherent (any-hit) waves have far wider frusta per tile;
         # budget slack only costs gated-chunk skips, so scale up.
         scale = 12 if any_hit else 6
         bmax = min(24576 if any_hit else 12288, max(128, scale * nt))
-    xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
-                                    rays.tmax, n_pad, tile)
+    if coherent:
+        xp_ext, xt_ext = _pad_coherent(rays.org, rays.dir, rays.tmin,
+                                       rays.tmax, n_pad, tile)
+        inv = None
+    else:
+        xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
+                                        rays.tmax, n_pad, tile)
 
     max_rounds = -(-max(d[0] for d in grid.dims3) // slab) + 1
     best, overflow = _frame(xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi,
                             grid.rs, grid.cols, grid.dims3, slab,
                             any_hit, tile, bmax, max_rounds, interpret)
 
-    out_flat = jnp.stack(
-        [best[0].reshape(-1),
-         jax.lax.bitcast_convert_type(best[1], jnp.float32).reshape(-1),
-         best[2].reshape(-1), best[3].reshape(-1)], axis=1)
-    hits = _unbin(out_flat, inv, n)
+    # Ids stay int32 all the way out: a float bitcast round-trip here
+    # can silently canonicalize the NaN-pattern id bits (found by the
+    # CLI verify drive: -1 came back as 0x7FC00000).
+    t_f = best[0].reshape(-1)
+    id_i = best[1].reshape(-1)
+    u_f = best[2].reshape(-1)
+    v_f = best[3].reshape(-1)
+    if inv is None:
+        tri = id_i[:n]
+        found = tri >= 0
+        hits = Hits(tri_id=tri, t=jnp.where(found, t_f[:n], jnp.inf),
+                    u=u_f[:n], v=v_f[:n])
+    else:
+        hits = _unbin(t_f, id_i, u_f, v_f, inv, n)
     if return_overflow:
         return hits, overflow
     return hits
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _unbin(out, inv, n):
+def _unbin(t_f, id_i, u_f, v_f, inv, n):
     safe = jnp.where(inv >= 0, inv, n)
-    t = jnp.full((n + 1,), jnp.inf, jnp.float32).at[safe].set(out[:, 0])
-    idb = jnp.full((n + 1,), -1, jnp.int32).at[safe].set(
-        jax.lax.bitcast_convert_type(out[:, 1], jnp.int32))
-    u = jnp.zeros((n + 1,), jnp.float32).at[safe].set(out[:, 2])
-    v = jnp.zeros((n + 1,), jnp.float32).at[safe].set(out[:, 3])
+    t = jnp.full((n + 1,), jnp.inf, jnp.float32).at[safe].set(t_f)
+    idb = jnp.full((n + 1,), -1, jnp.int32).at[safe].set(id_i)
+    u = jnp.zeros((n + 1,), jnp.float32).at[safe].set(u_f)
+    v = jnp.zeros((n + 1,), jnp.float32).at[safe].set(v_f)
     tri = idb[:n]
     found = tri >= 0
     return Hits(tri_id=tri, t=jnp.where(found, t[:n], jnp.inf),

@@ -135,7 +135,7 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
                 ridx = base + k
                 m = alive & (ridx >= cursor) & (ridx < end)
                 row = qrow[:, k * 12:k * 12 + 12]
-                tid = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+                tid = row[:, 9].astype(jnp.int32)
                 best = mt_update(m, tid, row[:, 0:3], row[:, 3:6],
                                  row[:, 6:9], best)
             cursor = jnp.where(alive, jnp.minimum(base + 4, end), cursor)
@@ -146,7 +146,7 @@ def _make_body(grid, lookup_fn, refs_per_iter: int, any_hit: bool):
                 rm = jnp.where(m, r, 0)
                 if packed:  # per-row packed path (odd-capacity tables)
                     row = grid.ref_tris[rm]
-                    tid = jax.lax.bitcast_convert_type(row[:, 9], jnp.int32)
+                    tid = row[:, 9].astype(jnp.int32)
                     best = mt_update(m, tid, row[:, 0:3], row[:, 3:6],
                                      row[:, 6:9], best)
                 else:

@@ -34,10 +34,9 @@ def trace_sorted(session, rays: Rays, any_hit: bool = False,
 
     Measured on TPU v5e (Sponza AO wave, 262k rays): sorting costs more
     than it saves on the XLA-gather traversal path — gather latency does
-    not reward index locality — so the default is unsorted. The sort
-    becomes mandatory (and pays) once waves feed the binned Pallas
-    intersector (ops/pallas_intersect.py), which needs cell-contiguous
-    ray tiles."""
+    not reward index locality — so the default is unsorted there. The
+    sweep tracer bins by (axis, sign) itself; Morton-sorting a wave
+    before binning tightens its tile frusta (SURVEY §3.5)."""
     if not sort:
         return session.trace(rays, any_hit=any_hit)
     grid = session.grid
@@ -95,7 +94,7 @@ def render_ao(session, cam, width: int, height: int, seed: int = 0,
     from ..core.camera import primary_rays
 
     rays = primary_rays(cam, width, height, order="block")
-    hits = session.trace(rays)
+    hits = session.trace(rays, coherent=True)
     key = jax.random.PRNGKey(seed)
     ao = ambient_occlusion(session, rays, hits, key, n_samples=n_samples)
     img = jnp.repeat(_to_scanline(ao, width, height)[:, None],
@@ -126,7 +125,7 @@ def path_trace(session, cam, width: int, height: int, seed: int = 0,
         throughput = jnp.ones((n,), jnp.float32)
         live = jnp.ones((n,), bool)
         for bounce in range(max_bounces):
-            hits = (session.trace(rays) if bounce == 0
+            hits = (session.trace(rays, coherent=True) if bounce == 0
                     else trace_sorted(session, rays))
             found = hits.tri_id >= 0
             # Escaped rays collect the sky.

@@ -84,7 +84,11 @@ class RenderSession:
                              np.asarray(self.grid.bbox_hi))
         return self.grid.total_refs  # something to block on
 
-    def trace(self, rays: Rays, any_hit: bool = False) -> Hits:
+    def trace(self, rays: Rays, any_hit: bool = False,
+              coherent: bool = False) -> Hits:
+        """coherent=True: rays are already direction-coherent in order
+        (camera primaries) — the packet path then skips its binning
+        permutation. Ignored by the other structures."""
         if self.structure == "uniform":
             return uniform.trace_uniform_fast(self.grid, rays,
                                               any_hit=any_hit)
@@ -92,7 +96,7 @@ class RenderSession:
             return irregular.trace_irregular_fast(self.grid, rays,
                                                   any_hit=any_hit)
         hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
-                                return_overflow=True)
+                                coherent=coherent, return_overflow=True)
         self.trace_overflow = ovf if self.trace_overflow is None \
             else self.trace_overflow | ovf
         return hits

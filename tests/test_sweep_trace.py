@@ -18,20 +18,29 @@ def cornell():
     return Triangles.from_mesh(v, f)
 
 
-def _check(hits, ref, n_report=8):
+def _check(hits, ref, n_report=8, id_rate=0.995):
     got_id = np.asarray(hits.tri_id)
     ref_id = np.asarray(ref.tri_id)
     got_t = np.asarray(hits.t)
     ref_t = np.asarray(ref.t)
-    same = got_id == ref_id
+    got_hit = got_id >= 0
+    ref_hit = ref_id >= 0
     tol_t = np.isclose(got_t, ref_t, rtol=1e-3, atol=1e-5)
-    ok = same | ((got_id >= 0) == (ref_id >= 0)) & tol_t
+    # Hit-ness must agree, and where both hit, t must match. (The old
+    # form `same | A & B` bound as `same | (A & B)` and let any
+    # hit-ness-matching ray pass regardless of id — it missed a bug
+    # where every id came back 0.)
+    ok = (got_hit == ref_hit) & (~ref_hit | tol_t)
     assert ok.mean() > 0.999, (
         f"{(~ok).sum()} rays disagree; first: "
         f"{[(i, got_id[i], ref_id[i], got_t[i], ref_t[i]) for i in np.where(~ok)[0][:n_report]]}")
-    hit_rows = ref_id >= 0
-    np.testing.assert_allclose(got_t[hit_rows & same],
-                               ref_t[hit_rows & same],
+    # Ids must agree too (allowing a sliver of equal-t edge ties).
+    both = got_hit & ref_hit
+    same = got_id[both] == ref_id[both]
+    assert same.mean() > id_rate, (
+        f"tri-id agreement only {same.mean():.4f}; first mismatches: "
+        f"{[(int(i), got_id[i], ref_id[i]) for i in np.where(both)[0][~same][:n_report]]}")
+    np.testing.assert_allclose(got_t[both][same], ref_t[both][same],
                                rtol=1e-3, atol=1e-5)
 
 
