@@ -41,6 +41,30 @@ def test_sharded_trace_matches_single(eight_devices):
     assert_hits_match(got_trim, want_trim)
 
 
+def test_sharded_sweep_matches_single(eight_devices):
+    """The FLAGSHIP path (packet grid + sweep tracer) under shard_map:
+    per-shard static shapes (tile/bmax) keep the per-chip program
+    identical to single-chip; results must match the oracle."""
+    from hagrid_tpu.grid.packet import build_packet
+    from hagrid_tpu.ops.sweep_trace import trace_sweep
+
+    mesh = eight_devices
+    v, f = scenes.cornell_box()
+    tris = Triangles.from_mesh(v, f)
+    grid = build_packet(tris, dims=(6, 6, 6))
+    rays = primary_rays(scenes.cornell_camera(), 64, 64)
+    rays, n = pmesh.pad_rays(rays, 8 * 128)
+
+    trace = pmesh.shard_trace(
+        lambda g, r: trace_sweep(g, r, tile=128, slab=4, bmax=512), mesh)
+    got = trace(grid, rays)
+    assert len(got.t.sharding.device_set) == 8
+    want = oracle.closest_hit(rays, tris)
+    got_trim = jax.tree.map(lambda a: a[:n], got)
+    want_trim = jax.tree.map(lambda a: a[:n], want)
+    assert_hits_match(got_trim, want_trim)
+
+
 def test_sharded_output_sharding(eight_devices):
     mesh = eight_devices
     v, f = scenes.cornell_box()
