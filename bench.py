@@ -119,8 +119,20 @@ def bench_path(session, cam, w, h, iters):
 
 def bench_dynamic(session, v, f, rays, iters):
     from hagrid_tpu.render.dynamic import AnimatedScene
+    from hagrid_tpu.render.session import RenderSession
 
     scene_anim = AnimatedScene(v, f)
+    if session.structure == "packet":
+        # Fresh session with a motion margin: warm rebuilds reuse the
+        # frame-1 bbox, so deformed geometry must stay inside it
+        # (ADVICE r2 #1). wave_deform moves vertices by <=0.25 units.
+        from hagrid_tpu.core.types import Triangles
+        ext = np.asarray(v, np.float32).max(0) - np.asarray(
+            v, np.float32).min(0)
+        session = RenderSession.create(
+            Triangles.from_mesh(v, f), session.params,
+            structure="packet", verts=v,
+            bbox_margin=float(0.26 / max(ext.min(), 1e-6)))
 
     def frame(t):
         session.rebuild(scene_anim.frame(t))

@@ -114,6 +114,19 @@ def cmd_render(args):
     print(f"rendered {args.out}: {w}x{h} in {dt * 1e3:.1f} ms "
           f"({w * h / dt / 1e6:.2f} Mrays/s incl. warmup), "
           f"hit fraction {frac:.3f}")
+    _warn_overflow(session)
+
+
+def _warn_overflow(session):
+    """Surface the sweep tracer's deferred block-budget overflow flag
+    (surplus blocks are dropped -> geometry can be missing from the
+    image). Same check bench.py makes (ADVICE r2 #2)."""
+    if session.trace_overflow is not None:
+        import jax
+        if bool(jax.device_get(session.trace_overflow)):
+            print("WARNING: sweep block budget overflowed during "
+                  "tracing; some far panels were dropped (geometry may "
+                  "be missing — raise bmax)", file=sys.stderr)
 
 
 def cmd_bench(args):

@@ -42,15 +42,24 @@ class RenderSession:
     @staticmethod
     def create(tris: Triangles, params: BuildParams | None = None,
                structure: str = "packet",
-               verts=None) -> "RenderSession":
+               verts=None, bbox_margin: float = 0.0) -> "RenderSession":
         """verts: optional host vertex array; lets the packet build skip
         the device->host bounds read (which permanently degrades this
-        environment's dispatch latency — docs/ARCHITECTURE.md)."""
+        environment's dispatch latency — docs/ARCHITECTURE.md).
+
+        bbox_margin: fraction of the scene extent added on every side of
+        the session bbox. Warm packet rebuilds reuse this frame-1 bbox
+        without a device read, so animated geometry that deforms OUTSIDE
+        it is clamped into boundary cells and hits can be silently
+        missed; callers animating geometry must pass a margin covering
+        the expected motion (bench's wave deform uses 0.3)."""
         params = params or BuildParams()
         s = RenderSession(params=params, structure=structure, grid=None)
         if verts is not None and len(verts):
             v = np.asarray(verts, np.float32)
-            s.bbox = (v.min(0), v.max(0))
+            lo, hi = v.min(0), v.max(0)
+            pad = (hi - lo) * np.float32(bbox_margin)
+            s.bbox = (lo - pad, hi + pad)
         s.rebuild(tris)
         return s
 
