@@ -100,7 +100,10 @@ def check_irregular(grid: IrregularGrid) -> None:
                         f"tri {t} missing from owner cell {c} of voxel " \
                         f"({x},{y},{z})"
 
-    # 3: expansion safety.
+    # 3: expansion safety — every foreign cell covered by a cell's bbox
+    # must carry a ref list that is a SUBSET of the covering cell's
+    # (empty is the trivial subset; non-empty coverage comes from the
+    # src/expand.cu-style subset expansion).
     cmin = np.asarray(grid.cell_min)
     cmax = np.asarray(grid.cell_max)
     for c in np.nonzero(alive)[0]:
@@ -108,8 +111,12 @@ def check_irregular(grid: IrregularGrid) -> None:
                      cmin[c, 1]:cmax[c, 1] + 1,
                      cmin[c, 2]:cmax[c, 2] + 1]
         others = np.unique(sl[sl != c])
-        assert np.all(n_refs[others] == 0), \
-            f"cell {c} bbox covers non-empty foreign cells {others}"
+        mine = cell_sets[int(c)]
+        for o in others:
+            theirs = cell_sets.get(int(o), set())
+            assert theirs <= mine, \
+                f"cell {c} bbox covers foreign cell {o} whose refs " \
+                f"{theirs - mine} are not in its own list"
 
 
 def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):

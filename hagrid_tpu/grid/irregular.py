@@ -462,18 +462,77 @@ def _merge_pass(grid: IrregularGrid, salt, axis: int,
 # Stage 6: greedy cell expansion into empty neighbors.
 # --------------------------------------------------------------------------
 
-def _expand_pass(grid: IrregularGrid, axis: int) -> IrregularGrid:
-    """Grow each alive cell's bbox along +axis and -axis into an EMPTY
-    neighbor cell that covers the full cross-section (the subset test of
-    reference src/expand.cu restricted to the empty-neighbor case, which
-    the paper identifies as the dominant win; repeated passes chain)."""
+def _subset_test(grid: IrregularGrid, n_refs, jp, jm, candp, candm):
+    """For candidate pairs (A, B=jp[A]) and (A, B=jm[A]), decide
+    refs(B) ⊆ refs(A), fully vectorized (no per-pair loops):
+
+    emit each pair's B-refs as QUERY rows and each A's own refs as DATA
+    rows, sort all rows by (cell A, ref, tag) with data tags first, and
+    mark a query matched when a data row with the same (A, ref) precedes
+    it in its group (groups have <= 3 rows: 1 data + 2 directions, so
+    two shifted propagation steps suffice). A pair passes when all its
+    nB queries matched. Capacity overflow drops rows, which can only
+    suppress expansions (conservative)."""
+    c_cap = n_refs.shape[0]
+    r_cap = grid.ref_ids.shape[0]
+    starts = grid.cell_starts
+
+    need = candp | candm
+    di, dr, dv, _ = expand_by_counts(jnp.where(need, n_refs, 0), r_cap)
+    ref_d = grid.ref_ids[starts[di] + dr]
+
+    def qrows(j, cand):
+        n_b = jnp.where(cand, n_refs[j], 0)
+        qi, qr, qv, _ = expand_by_counts(n_b, r_cap)
+        refq = grid.ref_ids[starts[j[qi]] + qr]
+        return qi, refq, qv, n_b
+
+    qi_p, ref_p, qv_p, n_bp = qrows(jp, candp)
+    qi_m, ref_m, qv_m, n_bm = qrows(jm, candm)
+
+    cell = jnp.concatenate([jnp.where(dv, di, c_cap),
+                            jnp.where(qv_p, qi_p, c_cap),
+                            jnp.where(qv_m, qi_m, c_cap)])
+    key = jnp.concatenate([ref_d * 4, ref_p * 4 + 1, ref_m * 4 + 2])
+    s_cell, s_key = jax.lax.sort((cell, jnp.where(cell < c_cap, key, 0)),
+                                 num_keys=2)
+    tag = s_key & 3
+    ref = s_key >> 2
+    same = ((s_cell == jnp.roll(s_cell, 1))
+            & (ref == jnp.roll(ref, 1))).at[0].set(False)
+    has_data = tag == 0
+    for _ in range(2):
+        has_data = has_data | (same & jnp.roll(has_data, 1))
+    live = s_cell < c_cap
+    hits_p = (has_data & (tag == 1) & live).astype(jnp.int32)
+    hits_m = (has_data & (tag == 2) & live).astype(jnp.int32)
+    cm_p = jnp.zeros((c_cap + 1,), jnp.int32).at[s_cell].add(
+        hits_p, mode="drop")[:c_cap]
+    cm_m = jnp.zeros((c_cap + 1,), jnp.int32).at[s_cell].add(
+        hits_m, mode="drop")[:c_cap]
+    return candp & (cm_p == n_bp), candm & (cm_m == n_bm)
+
+
+def _expand_pass(grid: IrregularGrid, axis: int,
+                 subset: bool = False) -> IrregularGrid:
+    """Grow each alive cell's bbox along +axis and -axis into a neighbor
+    cell that covers the full cross-section and is either EMPTY or
+    (subset=True) carries a ref list that is a SUBSET of the cell's own
+    (the full test of reference src/expand.cu). Safe transitively: a
+    neighbor's own expanded territory only covers cells whose refs are
+    subsets of its refs, hence of ours. Repeated passes chain."""
     c_cap = grid.cell_min.shape[0]
     fine = jnp.asarray(grid.fine_dims, jnp.int32)
     starts = grid.cell_starts
     n_refs = (starts[1:] - starts[:-1])[:c_cap]
     oa = [a for a in range(3) if a != axis]
+    cmin, cmax = grid.cell_min, grid.cell_max
 
-    def grow(cmin, cmax, direction):
+    def probe_dir(direction):
+        """(neighbor id, its bbox, geometric acceptability) per cell.
+        Both directions read the ORIGINAL bbox: growth along `axis`
+        never changes the cross-section the covers test uses, so the
+        directions are independent."""
         if direction > 0:
             probe = cmin.at[:, axis].set(cmax[:, axis] + 1)
             in_b = probe[:, axis] < fine[axis]
@@ -486,16 +545,24 @@ def _expand_pass(grid: IrregularGrid, axis: int) -> IrregularGrid:
                   & (jmax[:, oa[0]] >= cmax[:, oa[0]])
                   & (jmin[:, oa[1]] <= cmin[:, oa[1]])
                   & (jmax[:, oa[1]] >= cmax[:, oa[1]]))
-        ok = grid.alive & in_b & (n_refs[j] == 0) & covers & (j != jnp.arange(
+        base = grid.alive & in_b & covers & (j != jnp.arange(
             c_cap, dtype=jnp.int32))
-        if direction > 0:
-            new = jnp.where(ok, jmax[:, axis], cmax[:, axis])
-            return cmin, cmax.at[:, axis].set(new)
-        new = jnp.where(ok, jmin[:, axis], cmin[:, axis])
-        return cmin.at[:, axis].set(new), cmax
+        return j, jmin, jmax, base
 
-    cmin, cmax = grow(grid.cell_min, grid.cell_max, +1)
-    cmin, cmax = grow(cmin, cmax, -1)
+    jp, _, jmax_p, base_p = probe_dir(+1)
+    jm, jmin_m, _, base_m = probe_dir(-1)
+    ok_p = base_p & (n_refs[jp] == 0)
+    ok_m = base_m & (n_refs[jm] == 0)
+    if subset:
+        cand_p = base_p & (n_refs[jp] > 0) & (n_refs[jp] <= n_refs)
+        cand_m = base_m & (n_refs[jm] > 0) & (n_refs[jm] <= n_refs)
+        sub_p, sub_m = _subset_test(grid, n_refs, jp, jm, cand_p, cand_m)
+        ok_p = ok_p | sub_p
+        ok_m = ok_m | sub_m
+    cmax = cmax.at[:, axis].set(
+        jnp.where(ok_p, jmax_p[:, axis], cmax[:, axis]))
+    cmin = cmin.at[:, axis].set(
+        jnp.where(ok_m, jmin_m[:, axis], cmin[:, axis]))
     return grid.replace(cell_min=cmin, cell_max=cmax)
 
 
@@ -672,7 +739,7 @@ def _pack_tables(grid: IrregularGrid) -> IrregularGrid:
 # compile. Merge/expand dispatch overhead is negligible next to the sorts.
 _buddy_jit = jax.jit(_buddy_pass, static_argnames=("axis",))
 _merge_jit = jax.jit(_merge_pass, static_argnames=("axis", "alpha"))
-_expand_jit = jax.jit(_expand_pass, static_argnames=("axis",))
+_expand_jit = jax.jit(_expand_pass, static_argnames=("axis", "subset"))
 _pack_jit = jax.jit(_pack_tables)
 _compact_jit = jax.jit(compact_cells, static_argnames=("cell_capacity",))
 
@@ -709,8 +776,12 @@ def _optimize(grid: IrregularGrid, params: BuildParams) -> IrregularGrid:
                     cell_capacity=_bucket(n_alive))
     for p in range(params.expansion_passes):
         for axis in range(3):
+            # The sort-backed subset test is ~3 device sorts per axis;
+            # one pass of it captures almost all non-empty growth
+            # (chains continue through the cheap empty rule).
             grid = step(f"expand p{p} ax{axis}", _expand_jit, grid,
-                        axis=axis)
+                        axis=axis,
+                        subset=params.subset_expansion and p == 0)
     grid = step("pack", _pack_jit, grid)
     return grid
 

@@ -60,8 +60,11 @@ _BIG = 3e38
 _BIG_BITS = int(np.float32(3e38).view(np.int32))  # bit pattern of _BIG
 _BIGID = 2 ** 30
 _SUB = 4        # ray quarters per tile (tighter union rects)
-_RMAX = 8       # c-trimmed row ranges per (tile, slice); taller rects
+_RMAX = 4       # c-trimmed row ranges per (tile, slice); taller rects
 #                 fall back to one untrimmed multi-row tail range.
+#                 Measured rects span ~2.7 rows on Sponza primaries, so 4
+#                 slots cover almost all rects at half the rs-gather cost
+#                 of 8 (plan was ~6 ms/round, half of it these gathers).
 _CHUNK = 4096    # 512-ref blocks per pallas_call (16K SMEM prefetch)
 _GCHUNK = 1024   # blocks per gated gather piece (131072 group rows)
 _G = 4           # refs per gathered group row (256B rows)
@@ -616,10 +619,9 @@ def _merge(best, out_ext, tile_of):
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims3", "slab", "any_hit", "tile", "bmax", "max_rounds",
-    "interpret"))
+    "dims3", "slab", "any_hit", "tile", "bcaps", "interpret"))
 def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
-           dims3, slab, any_hit, tile, bmax, max_rounds, interpret):
+           dims3, slab, any_hit, tile, bcaps, interpret):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
@@ -637,13 +639,16 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
     cols_g = cols.reshape(-1, 16 * _G)     # 4-ref group rows (256B)
     dead_idx = cols_g.shape[0] - 1         # all-zero tail rows
     overflow = jnp.int32(0)
-    for _ in range(max_rounds):
+    # bcaps: per-round static block budgets (measured round demands
+    # decay fast — Sponza primaries 4493/2213/0 — and the items stage
+    # costs O(bcap) whether blocks are live or not).
+    for bcap in bcaps:
         starts, counts, thr = _plan(per_ray, per_tile, cs_tab, n_tab,
                                     lo_tab, rs, ka, best[0], dims3,
                                     slab, any_hit)
         gidx, tile_of, tminb, n_blocks, demand = _items(
-            starts, counts, thr, nt, slab, bmax, dead_idx)
-        overflow = overflow | (demand > bmax * 128)
+            starts, counts, thr, nt, slab, bcap, dead_idx)
+        overflow = overflow | (demand > bcap * 128)
         # Kernel seed row: current best per binned lane (dummy tile
         # keeps -BIG so its blocks are skipped outright).
         xt_round = jax.lax.dynamic_update_slice(
@@ -653,22 +658,28 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
             (14, 0))
         # Gather in cond-gated pieces so round slack is never gathered
         # (256B group rows gather at ~3ns/ref; the pieces are XLA ops
-        # inside the frame, launch-free).
-        g_round = jnp.zeros((bmax * 128, 16 * _G), jnp.float32)
-        for goff in range(0, bmax, _GCHUNK):
-            gw = min(_GCHUNK, bmax - goff)
+        # inside the frame, launch-free). Pieces concatenate instead of
+        # updating one bcap-wide canvas: no giant buffer is threaded
+        # through the conds.
+        pieces = []
+        for goff in range(0, bcap, _GCHUNK):
+            gw = min(_GCHUNK, bcap - goff)
 
-            def do_gather(g, goff=goff, gw=gw):
-                piece = cols_g[gidx[goff * 128:(goff + gw) * 128]]
-                return jax.lax.dynamic_update_slice(
-                    g, piece, (goff * 128, 0))
+            def do_gather(gi, gw=gw):
+                return cols_g[gi]
 
-            g_round = jax.lax.cond(n_blocks > goff, do_gather,
-                                   lambda g: g, g_round)
+            def skip(gi, gw=gw):
+                return jnp.zeros((gw * 128, 16 * _G), jnp.float32)
+
+            pieces.append(jax.lax.cond(
+                n_blocks > goff, do_gather, skip,
+                gidx[goff * 128:(goff + gw) * 128]))
+        g_round = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=0)
         # Sweep launches are fixed-count; unused blocks carry the dummy
         # tile and skip all vector work (~0.4us each).
-        for off in range(0, bmax, _CHUNK):
-            w = min(_CHUNK, bmax - off)
+        for off in range(0, bcap, _CHUNK):
+            w = min(_CHUNK, bcap - off)
             t_c = tile_of[off:off + w]
             tb_c = tminb[off:off + w]
             g_c = jax.lax.slice_in_dim(g_round, off * 128,
@@ -723,9 +734,24 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                                         rays.tmax, n_pad, tile)
 
     max_rounds = -(-max(d[0] for d in grid.dims3) // slab) + 1
+    # Per-round budget ladder: round demands decay fast once rays start
+    # terminating (measured 4493/2213/0 blocks on Sponza primaries), and
+    # the items stage costs O(budget) regardless of live blocks. Later
+    # rounds run on a fraction of bmax; the overflow flag still reports
+    # any round whose demand exceeded its cap.
+    def _cap(r):
+        if r == 0:
+            f = 1.0
+        elif any_hit:
+            f = 0.75 if r == 1 else 0.5
+        else:
+            f = 0.625 if r == 1 else 0.375
+        return max(128, int(bmax * f) // 128 * 128)
+
+    bcaps = tuple(_cap(r) for r in range(max_rounds))
     best, overflow = _frame(xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi,
                             grid.rs, grid.cols, grid.dims3, slab,
-                            any_hit, tile, bmax, max_rounds, interpret)
+                            any_hit, tile, bcaps, interpret)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the

@@ -27,6 +27,10 @@ class BuildParams:
     levels: int = 3
     # Compact dead (merged-away) cell rows after optimization.
     compact: bool = True
+    # Grow cell bboxes into non-empty neighbors whose ref list is a
+    # subset of the cell's own (reference src/expand.cu full test);
+    # empty-neighbor growth always runs.
+    subset_expansion: bool = True
     # Capacity head-room multipliers for the static ref buffers.
     ref_slack: float = 1.5
 
