@@ -132,8 +132,8 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
     from .uniform import tri_box_overlap
 
     r_cap = grid.ref_capacity
-    # Col 9 is the tri id as a float VALUE (grid/packet.py docstring).
-    ids_all = np.asarray(grid.cols[:, 9]).astype(np.int32)
+    # Col 16 is the tri id as a float VALUE (grid/packet.py docstring).
+    ids_all = np.asarray(grid.cols[:, 16]).astype(np.int32)
     n_tris = grid.tris.count
     rng = np.random.default_rng(seed)
 

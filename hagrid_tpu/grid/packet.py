@@ -24,13 +24,21 @@ consumes:
   row (k, j) at column >= c (layout offset a*R_cap folded into the
   value). A frustum rect's refs in row (k, j) are the contiguous span
   [rs[k,j,c0], rs[k,j,c1+1]).
-- `cols` f32[3*R_cap + 8, 16]: per-ref Moller-Trumbore rows
-  [v0(3) e1(3) e2(3) tri_id zeros(6)] in sorted order per layout. The
-  tri id in column 9 is stored as a float *value* (exact for up to 2^24
-  triangles) — NOT a bitcast bit pattern: ids below 2^23 are denormal
-  bit patterns that TPU/XLA float ops flush to zero (found by the CLI
-  verify drive: every hit came back as tri 0). The trailing 8 zero rows
-  are the DEAD gather target (det = 0, never hits) for padding slots.
+- `cols` f32[3*R_cap + 8, 20]: per-ref PRECOMPUTED intersection rows
+  [n(3) -e2(3) -(v0 x e2)(3) e1(3) (v0 x e1)(3) v0.n tri_id zeros(3)]
+  in sorted order per layout. With x = (o, d, m = o x d) these make
+  det, t*det, u*det, v*det LINEAR in x (scalar-triple identities), so
+  the kernel's Moller-Trumbore collapses from ~65 VPU ops/pair to ~38:
+    det' = d.n        (= -det_MT; all signs below absorb it)
+    t    = (v0.n - o.n) / det'
+    u    = (m.(-e2) + d.(-(v0 x e2))) / det'
+    v    = (m.e1 + d.(v0 x e1)) / det'
+  The tri id in column 16 is stored as a float *value* (exact for up to
+  2^24 triangles) — NOT a bitcast bit pattern: ids below 2^23 are
+  denormal bit patterns that TPU/XLA float ops flush to zero (found by
+  the CLI verify drive: every hit came back as tri 0). The trailing 8
+  zero rows are the DEAD gather target (det = 0 -> t = NaN, never
+  hits) for padding slots.
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ from .uniform import tri_box_overlap, tri_voxel_ranges
 #   [0]=1, [1:4]=org, [4:7]=dir, [7:10]=m = org x dir, [10:12]=0,
 #   [12]=tmin, [13]=min(tmax, BIG), [14]=seed best-t, [15]=0.
 X_COLS = 16
+MT_COLS = 20  # precomputed per-ref intersection row width (see above)
 BIG = 3e38  # finite stand-in for +inf throughout the packet pipeline
 
 # Ids ride in f32 rows as exact float values; beyond 2^24 they would
@@ -176,13 +185,24 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
             [starts[:num_cells].reshape(nrows, dc),
              row_start[1:, None]], axis=1)            # i32[nrows, dc+1]
         rs_parts.append((s_log + axis * ref_capacity).reshape(-1))
-        # Per-ref classic MT rows: ONE row gather from tri_t.
-        cols_parts.append(jnp.where(live[:, None], tri_t[srefs], 0.0))
+        # Per-ref rows: ONE row gather from tri_t, then the precomputed
+        # linear-form coefficients (module docstring) derived
+        # elementwise — no extra gather.
+        tk = tri_t[srefs]
+        v0 = tk[:, 0:3]
+        e1 = tk[:, 3:6]
+        e2 = tk[:, 6:9]
+        nrm = jnp.cross(e1, e2)
+        row20 = jnp.concatenate(
+            [nrm, -e2, -jnp.cross(v0, e2), e1, jnp.cross(v0, e1),
+             jnp.sum(v0 * nrm, axis=1, keepdims=True), tk[:, 9:10],
+             jnp.zeros((ref_capacity, 3), jnp.float32)], axis=1)
+        cols_parts.append(jnp.where(live[:, None], row20, 0.0))
         totals.append(total)              # AABB pairs (capacity bound)
         reals.append(starts[num_cells])   # SAT-surviving refs
     rs_all = jnp.concatenate(rs_parts)
     cols_all = jnp.concatenate(
-        cols_parts + [jnp.zeros((8, 16), jnp.float32)])
+        cols_parts + [jnp.zeros((8, MT_COLS), jnp.float32)])
     return (rs_all, cols_all,
             jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)))
 
@@ -216,7 +236,8 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           rs=jnp.zeros((6,), jnp.int32),
-                          cols=jnp.zeros((3 * 256 + 8, 16), jnp.float32),
+                          cols=jnp.zeros((3 * 256 + 8, MT_COLS),
+                                         jnp.float32),
                           total_refs=jnp.int32(0),
                           total_pairs=jnp.int32(0), tris=tris)
     if bbox is not None:

@@ -120,36 +120,42 @@ def _make_kernel(tile: int, nt: int):
             dx = xt_ref[4:5, :]
             dy = xt_ref[5:6, :]
             dz = xt_ref[6:7, :]
+            mx = xt_ref[7:8, :]
+            my = xt_ref[8:9, :]
+            mz = xt_ref[9:10, :]
             tmin = xt_ref[12:13, :]
             tmax = xt_ref[13:14, :]
             # The block holds _G interleaved 128-tri sets (one per ref
             # position within the gathered 4-ref group rows); each set
-            # runs the same dense MT against the whole tile.
+            # intersects the whole tile via the PRECOMPUTED linear form
+            # (grid/packet.py module docstring): det, t*det, u*det,
+            # v*det are dots of per-tri coefficient rows with
+            # (o, d, m) — ~38 VPU ops/pair vs ~65 for classic MT.
             for s in range(_G):
-                o = s * 16
-                v0x = g_ref[:, o + 0:o + 1]
-                v0y = g_ref[:, o + 1:o + 2]
-                v0z = g_ref[:, o + 2:o + 3]
-                e1x = g_ref[:, o + 3:o + 4]
-                e1y = g_ref[:, o + 4:o + 5]
-                e1z = g_ref[:, o + 5:o + 6]
-                e2x = g_ref[:, o + 6:o + 7]
-                e2y = g_ref[:, o + 7:o + 8]
-                e2z = g_ref[:, o + 8:o + 9]
-                ids = g_ref[:, o + 9:o + 10]
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x        # (128, tile)
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                uu = tvx * pvx + tvy * pvy + tvz * pvz
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                vv = dx * qvx + dy * qvy + dz * qvz
-                tt = e2x * qvx + e2y * qvy + e2z * qvz
+                o = s * 20
+                n0 = g_ref[:, o + 0:o + 1]
+                n1 = g_ref[:, o + 1:o + 2]
+                n2 = g_ref[:, o + 2:o + 3]
+                b0 = g_ref[:, o + 3:o + 4]
+                b1 = g_ref[:, o + 4:o + 5]
+                b2 = g_ref[:, o + 5:o + 6]
+                c0 = g_ref[:, o + 6:o + 7]
+                c1 = g_ref[:, o + 7:o + 8]
+                c2 = g_ref[:, o + 8:o + 9]
+                d0 = g_ref[:, o + 9:o + 10]
+                d1 = g_ref[:, o + 10:o + 11]
+                d2 = g_ref[:, o + 11:o + 12]
+                e0 = g_ref[:, o + 12:o + 13]
+                e1 = g_ref[:, o + 13:o + 14]
+                e2 = g_ref[:, o + 14:o + 15]
+                f = g_ref[:, o + 15:o + 16]
+                ids = g_ref[:, o + 16:o + 17]
+                det = dx * n0 + dy * n1 + dz * n2      # = -det_MT
+                tt = f - (ox * n0 + oy * n1 + oz * n2)
+                uu = (mx * b0 + my * b1 + mz * b2
+                      + dx * c0 + dy * c1 + dz * c2)
+                vv = (mx * d0 + my * d1 + mz * d2
+                      + dx * e0 + dy * e1 + dz * e2)
                 inv = 1.0 / det  # det = 0 -> inf/NaN, self-filtered
                 t = tt * inv
                 u = uu * inv
@@ -206,7 +212,7 @@ def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, interpret):
         in_specs=[
             pl.BlockSpec((16, tile), lambda i, t, tb: (0, t[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 16 * _G), lambda i, t, tb: (i + boff, 0),
+            pl.BlockSpec((128, 20 * _G), lambda i, t, tb: (i + boff, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, tile), lambda i, t, tb: (0, t[i]),
@@ -636,7 +642,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
             jnp.zeros((nt, tile), jnp.float32))
     ka = per_tile["k0"]
     step = per_tile["step"]
-    cols_g = cols.reshape(-1, 16 * _G)     # 4-ref group rows (256B)
+    cols_g = cols.reshape(-1, 20 * _G)     # 4-ref group rows (320B)
     dead_idx = cols_g.shape[0] - 1         # all-zero tail rows
     overflow = jnp.int32(0)
     # bcaps: per-round static block budgets (measured round demands
@@ -669,7 +675,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
                 return cols_g[gi]
 
             def skip(gi, gw=gw):
-                return jnp.zeros((gw * 128, 16 * _G), jnp.float32)
+                return jnp.zeros((gw * 128, 20 * _G), jnp.float32)
 
             pieces.append(jax.lax.cond(
                 n_blocks > goff, do_gather, skip,
@@ -702,7 +708,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
 
 def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                 interpret: bool = False, tile: int = 512,
-                slab: int = 16, bmax: int | None = None,
+                slab: int | None = None, bmax: int | None = None,
                 return_overflow: bool = False,
                 coherent: bool = False):
     """Trace rays against a PacketGrid with the planned-sweep kernel.
@@ -713,13 +719,22 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     return_overflow=True, or raise bmax). coherent=True skips the
     (axis, sign) binning permutation for waves that are already
     direction-coherent in order (camera primaries): measured ~29 ms of
-    a 1M-ray frame. On the CPU backend the kernel falls back to
-    interpret mode (Mosaic is TPU-only)."""
+    a 1M-ray frame. slab=None plans the WHOLE grid in one round: the
+    in-kernel early-out replaces inter-round replanning (its block
+    skips terminate exactly where replanning would), saving the later
+    rounds' plan/items/merge cost; pass a smaller slab to re-plan with
+    tightened t-caps between slabs (useful when rays terminate early
+    AND panel demand is budget-limited). On the CPU backend the kernel
+    falls back to interpret mode (Mosaic is TPU-only)."""
     if jax.default_backend() == "cpu":
         interpret = True
+    da_max = max(d[0] for d in grid.dims3)
+    if slab is None:
+        slab = da_max
     n = rays.count
     n_pad = (-(-n // tile) + (0 if coherent else 6)) * tile
     nt = n_pad // tile
+    max_rounds = -(-da_max // slab)
     if bmax is None:
         # Incoherent (any-hit) waves have far wider frusta per tile;
         # budget slack only costs gated-chunk skips, so scale up.
@@ -733,7 +748,6 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
                                         rays.tmax, n_pad, tile)
 
-    max_rounds = -(-max(d[0] for d in grid.dims3) // slab) + 1
     # Per-round budget ladder: round demands decay fast once rays start
     # terminating (measured 4493/2213/0 blocks on Sponza primaries), and
     # the items stage costs O(budget) regardless of live blocks. Later

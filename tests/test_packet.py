@@ -24,7 +24,7 @@ def _cell_sets(g, axis, dims):
                for i in range(axis))
     rs = (np.asarray(g.rs[qoff:qoff + da * db * (dc + 1)])
           .reshape(da * db, dc + 1) - axis * r_cap)
-    ids = np.asarray(g.cols[axis * r_cap:(axis + 1) * r_cap, 9]
+    ids = np.asarray(g.cols[axis * r_cap:(axis + 1) * r_cap, 16]
                      ).astype(np.int32)
     out = {}
     for ka in range(da):
@@ -88,11 +88,11 @@ def test_rs_monotone_and_total(cornell):
 
 
 def test_cols_ids_are_exact_values(cornell):
-    """Tri ids ride in cols[:, 9] as float values: exact, non-negative in
+    """Tri ids ride in cols[:, 16] as float values: exact, non-negative in
     live spans, zero in the dead tail (regression for the denormal-flush
     bug: bitcast id bits of small ids are denormals and get flushed)."""
     g = packet.build_packet(cornell, dims=(4, 4, 4))
-    ids_f = np.asarray(g.cols[:, 9])
+    ids_f = np.asarray(g.cols[:, 16])
     assert (ids_f == np.round(ids_f)).all()
     total = int(g.total_refs)
     ids0 = ids_f[:total].astype(np.int32)
