@@ -476,19 +476,83 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
                 jnp.clip(hi_i, 0, n_m[:, None, None] - 1))
 
     b0q, b1q = minor(ob_lo, ob_hi, db_lo, db_hi, lo_b, cs_b, n_b)
-    c0q, c1q = minor(oc_lo, oc_hi, dc_lo, dc_hi, lo_c, cs_c, n_c)
     rect_okq = t_ok & k_ok[:, None, :]                  # (nt,SUB,S)
-    # Full-tile rect = union over live quarters.
+    # Full-tile row range = union over live quarters.
     ibig = jnp.int32(2 ** 20)
     b0 = jnp.min(jnp.where(rect_okq, b0q, ibig), axis=1)   # (nt,S)
     b1 = jnp.max(jnp.where(rect_okq, b1q, -1), axis=1)
-    c0 = jnp.min(jnp.where(rect_okq, c0q, ibig), axis=1)
-    c1 = jnp.max(jnp.where(rect_okq, c1q, -1), axis=1)
     rect_ok = jnp.any(rect_okq, axis=1)
     b0 = jnp.where(rect_ok, b0, 0)
     b1 = jnp.where(rect_ok, b1, 0)
-    c0 = jnp.where(rect_ok, c0, 0)
-    c1 = jnp.where(rect_ok, c1, 0)
+
+    # Per-ROW column trim (the big pair cut): the frustum sweeps
+    # diagonally through the (row, col) cross-section, so a slice-wide
+    # [c0, c1] rect overcovers every row. For each of the _RMAX row
+    # slots, restrict each quarter's slice t-interval to the t's where
+    # some ray is inside that row's b-band (outer interval hull; when a
+    # quarter's d_b interval straddles 0 the band time is unbounded and
+    # the trim falls back to the slice interval), then derive the
+    # column interval from the restricted t's. Measured on Sponza
+    # primaries this cuts gathered refs ~=1.4x vs the slice-wide rect.
+    rr = jnp.arange(_RMAX, dtype=jnp.int32)
+    j_r = b0[:, :, None] + rr[None, None, :]                # (nt,S,R)
+    db_pos = db_lo > 1e-30
+    db_neg = db_hi < -1e-30
+    db_ok = db_pos | db_neg                                  # (nt,SUB)
+    safe_db_lo = jnp.where(db_ok, db_lo, 1.0)
+    safe_db_hi = jnp.where(db_ok, db_hi, 1.0)
+    idb_a = 1.0 / safe_db_lo
+    idb_b = 1.0 / safe_db_hi
+    # Broadcast shapes: quarter bounds (nt,SUB,1,1), slice t (nt,SUB,
+    # S,1), rows (nt,1,S,R) -> all (nt,SUB,S,R).
+    wb0 = (lo_b[:, None, None, None]
+           + j_r[:, None, :, :].astype(jnp.float32)
+           * cs_b[:, None, None, None])
+    wb1 = wb0 + cs_b[:, None, None, None]
+    nlo0 = wb0 - ob_hi[:, :, None, None]
+    nhi0 = wb0 - ob_lo[:, :, None, None]
+    nlo1 = wb1 - ob_hi[:, :, None, None]
+    nhi1 = wb1 - ob_lo[:, :, None, None]
+    ia = idb_a[:, :, None, None]
+    ib = idb_b[:, :, None, None]
+
+    def hull4(na, nb):
+        p0, p1 = na * ia, na * ib
+        p2, p3 = nb * ia, nb * ib
+        return (jnp.minimum(jnp.minimum(p0, p1), jnp.minimum(p2, p3)),
+                jnp.maximum(jnp.maximum(p0, p1), jnp.maximum(p2, p3)))
+
+    e0_lo, e0_hi = hull4(nlo0, nhi0)     # crossing times of band lo
+    e1_lo, e1_hi = hull4(nlo1, nhi1)     # crossing times of band hi
+    tb_lo = jnp.minimum(e0_lo, e1_lo)
+    tb_hi = jnp.maximum(e0_hi, e1_hi)
+    dbok4 = db_ok[:, :, None, None]
+    tj_lo = jnp.where(dbok4, jnp.maximum(tl[:, :, :, None], tb_lo),
+                      tl[:, :, :, None])
+    tj_hi = jnp.where(dbok4, jnp.minimum(th[:, :, :, None], tb_hi),
+                      th[:, :, :, None])
+    row_okq = (rect_okq[:, :, :, None] & (tj_lo <= tj_hi)
+               & (j_r[:, None, :, :] <= b1q[:, :, :, None])
+               & (j_r[:, None, :, :] >= b0q[:, :, :, None]))
+    # Column interval of each quarter within the row's t window.
+    x00 = tj_lo * dc_lo[:, :, None, None]
+    x01 = tj_lo * dc_hi[:, :, None, None]
+    x10 = tj_hi * dc_lo[:, :, None, None]
+    x11 = tj_hi * dc_hi[:, :, None, None]
+    vlo = oc_lo[:, :, None, None] + jnp.minimum(
+        jnp.minimum(x00, x01), jnp.minimum(x10, x11))
+    vhi = oc_hi[:, :, None, None] + jnp.maximum(
+        jnp.maximum(x00, x01), jnp.maximum(x10, x11))
+    ics = (1.0 / cs_c)[:, None, None, None]
+    lo4 = lo_c[:, None, None, None]
+    ncl = n_c[:, None, None, None] - 1
+    c0q_r = jnp.clip(((vlo - lo4) * ics).astype(jnp.int32), 0, ncl)
+    c1q_r = jnp.clip(((vhi - lo4) * ics).astype(jnp.int32), 0, ncl)
+    c0_r = jnp.min(jnp.where(row_okq, c0q_r, ibig), axis=1)  # (nt,S,R)
+    c1_r = jnp.max(jnp.where(row_okq, c1q_r, -1), axis=1)
+    row_any = jnp.any(row_okq, axis=1)
+    c0_r = jnp.where(row_any, c0_r, 0)
+    c1_r = jnp.where(row_any, c1_r, -1)  # empty range when uncovered
 
     # rs flat indexing: per-layout base offsets + per-tile strides.
     qbase_list = []
@@ -504,14 +568,12 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
                 + ((k[:, :, None] * n_b[:, None, None]
                     + j) * (n_c[:, None, None] + 1) + c))
 
-    # c-trimmed row ranges + untrimmed multi-row tail.
-    rr = jnp.arange(_RMAX, dtype=jnp.int32)
-    j_r = b0[:, :, None] + rr[None, None, :]                # (nt,S,R)
-    row_ok = (j_r <= b1[:, :, None]) & rect_ok[:, :, None]
+    # Per-row c-trimmed ranges + untrimmed multi-row tail.
+    row_ok = (j_r <= b1[:, :, None]) & rect_ok[:, :, None] & row_any
     j_cl = jnp.minimum(j_r, n_b[:, None, None] - 1)
     k_cl = jnp.clip(ks, 0, n_a[:, None] - 1)
-    g1 = rs[qidx(k_cl, j_cl, c0[:, :, None])]
-    g2 = rs[qidx(k_cl, j_cl, c1[:, :, None] + 1)]
+    g1 = rs[qidx(k_cl, j_cl, c0_r)]
+    g2 = rs[qidx(k_cl, j_cl, jnp.maximum(c1_r, 0) + 1)]
 
     has_tail = rect_ok & (b1 - b0 + 1 > _RMAX)
     jt = jnp.minimum(b0 + _RMAX, n_b[:, None] - 1)
@@ -532,16 +594,20 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
                       jnp.maximum(hi_g - lo_g, 0), 0)
 
     # Early-out thresholds: closest-hit slots can't improve a ray once
-    # its best <= the slice's tile-entry t (min over ok quarters of tl,
-    # which is >= 0, so int bit order == float order). Any-hit is done
-    # the moment any hit exists: threshold = largest float < _BIG.
+    # its best <= the slot's tile-entry t (>= 0, so int bit order ==
+    # float order). Row slots use the row-restricted entry time tj_lo
+    # (tighter than the slice entry); the tail slot uses the slice
+    # entry. Any-hit is done the moment any hit exists: threshold =
+    # largest float < _BIG.
     if any_hit:
         thr = jnp.full(cnt_g.shape, _BIG_BITS - 1, jnp.int32)
     else:
         t_thr = jnp.min(jnp.where(rect_okq, tl, _BIG), axis=1)  # (nt,S)
-        thr = jnp.broadcast_to(
-            jax.lax.bitcast_convert_type(t_thr, jnp.int32)[:, :, None],
-            cnt_g.shape)
+        t_thr_r = jnp.min(jnp.where(row_okq, tj_lo, _BIG),
+                          axis=1)                             # (nt,S,R)
+        thr = jax.lax.bitcast_convert_type(
+            jnp.concatenate([t_thr_r, t_thr[:, :, None]], axis=2),
+            jnp.int32)
     return lo_g.reshape(-1), cnt_g.reshape(-1), thr.reshape(-1)
 
 
@@ -645,6 +711,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
     cols_g = cols.reshape(-1, 20 * _G)     # 4-ref group rows (320B)
     dead_idx = cols_g.shape[0] - 1         # all-zero tail rows
     overflow = jnp.int32(0)
+    demand_max = jnp.int32(0)              # peak per-round block demand
     # bcaps: per-round static block budgets (measured round demands
     # decay fast — Sponza primaries 4493/2213/0 — and the items stage
     # costs O(bcap) whether blocks are live or not).
@@ -655,6 +722,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
         gidx, tile_of, tminb, n_blocks, demand = _items(
             starts, counts, thr, nt, slab, bcap, dead_idx)
         overflow = overflow | (demand > bcap * 128)
+        demand_max = jnp.maximum(demand_max, demand // 128)
         # Kernel seed row: current best per binned lane (dummy tile
         # keeps -BIG so its blocks are skipped outright).
         xt_round = jax.lax.dynamic_update_slice(
@@ -699,7 +767,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
             best = jax.lax.cond(n_blocks > off, do_chunk,
                                 lambda b: b, best)
         ka = ka + step * slab
-    return best, overflow
+    return best, overflow, demand_max
 
 
 # ----------------------------------------------------------------------
@@ -710,7 +778,8 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                 interpret: bool = False, tile: int = 512,
                 slab: int | None = None, bmax: int | None = None,
                 return_overflow: bool = False,
-                coherent: bool = False):
+                coherent: bool = False,
+                return_demand: bool = False):
     """Trace rays against a PacketGrid with the planned-sweep kernel.
 
     The frame runs as one jitted computation with no host syncs. If a
@@ -763,9 +832,9 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         return max(128, int(bmax * f) // 128 * 128)
 
     bcaps = tuple(_cap(r) for r in range(max_rounds))
-    best, overflow = _frame(xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi,
-                            grid.rs, grid.cols, grid.dims3, slab,
-                            any_hit, tile, bcaps, interpret)
+    best, overflow, demand = _frame(
+        xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
+        grid.dims3, slab, any_hit, tile, bcaps, interpret)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the
@@ -781,9 +850,12 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                     u=u_f[:n], v=v_f[:n])
     else:
         hits = _unbin(t_f, id_i, u_f, v_f, inv, n)
+    out = (hits,)
     if return_overflow:
-        return hits, overflow
-    return hits
+        out = out + (overflow,)
+    if return_demand:
+        out = out + (demand,)
+    return out if len(out) > 1 else hits
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

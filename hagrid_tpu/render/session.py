@@ -38,6 +38,14 @@ class RenderSession:
     # flags since session start. Never read on the hot path; bench
     # checks it once at the end (D2H reads are deferred by design).
     trace_overflow: object = None
+    # Demand-calibrated sweep block budgets per wave shape. The items
+    # stage costs O(budget) whether blocks are live or not (measured
+    # ~0.7 us per 1k budget blocks), so the first trace of each wave
+    # shape runs with the generous default budget, reads the true peak
+    # demand once (one host sync, outside any timed frame), and later
+    # frames run with demand * margin. The overflow flag still reports
+    # any frame whose demand outgrows the calibrated budget.
+    _bmax_cal: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def create(tris: Triangles, params: BuildParams | None = None,
@@ -104,8 +112,22 @@ class RenderSession:
         if self.structure == "irregular":
             return irregular.trace_irregular_fast(self.grid, rays,
                                                   any_hit=any_hit)
-        hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
-                                coherent=coherent, return_overflow=True)
+        key = (any_hit, coherent, rays.count)
+        bmax = self._bmax_cal.get(key)
+        if bmax is None:
+            hits, ovf, demand = trace_sweep(
+                self.grid, rays, any_hit=any_hit, coherent=coherent,
+                return_overflow=True, return_demand=True)
+            # Incoherent waves (AO/path bounces) vary frame to frame;
+            # give them more slack than fixed-camera primaries.
+            margin = 1.3 if (coherent and not any_hit) else 1.5
+            d = int(jax.device_get(demand))
+            self._bmax_cal[key] = min(
+                24576, max(256, -(-int(d * margin) // 128) * 128))
+        else:
+            hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
+                                    coherent=coherent, bmax=bmax,
+                                    return_overflow=True)
         self.trace_overflow = ovf if self.trace_overflow is None \
             else self.trace_overflow | ovf
         return hits
