@@ -9,7 +9,12 @@ are long enough.
 
 import sys
 
+import os
+
 import jax
+
+if os.environ.get("FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -76,8 +76,8 @@ def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
             jnp.zeros((nt, tile), jnp.float32),
             jnp.zeros((nt, tile), jnp.float32))
     ka = per_tile["k0"]
-    cols_g = cols.reshape(-1, 20 * st._G)
-    dead_idx = cols_g.shape[0] - 1
+    cols_u = cols.reshape(-1, st._U, 20 * st._G)
+    dead_idx = cols_u.shape[0] - 1
     starts, counts, thr = st._plan(per_ray, per_tile, cs_tab, n_tab,
                                    lo_tab, rs, ka, best[0], dims3,
                                    slab, False)
@@ -87,9 +87,11 @@ def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
         tminb = jnp.full_like(tminb, 2 ** 31 - 1)
     elif mode == "skip_none":
         tminb = jnp.full_like(tminb, -1)
+    seed = jnp.minimum(best[0],
+                       xp_ext[:nt * tile, 13].reshape(nt, tile))
     xt_round = jax.lax.dynamic_update_slice(
         xt_ext,
-        jnp.concatenate([best[0].reshape(1, -1),
+        jnp.concatenate([seed.reshape(1, -1),
                          jnp.full((1, tile), -st._BIG)], axis=1),
         (14, 0))
     pieces = []
@@ -97,14 +99,14 @@ def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
         gw = min(st._GCHUNK, bcap - goff)
 
         def do_gather(gi, gw=gw):
-            return cols_g[gi]
+            return cols_u[gi].reshape(gw * 128, 20 * st._G)
 
         def skip(gi, gw=gw):
             return jnp.zeros((gw * 128, 20 * st._G), jnp.float32)
 
         pieces.append(jax.lax.cond(
             n_blocks > goff, do_gather, skip,
-            gidx[goff * 128:(goff + gw) * 128]))
+            gidx[goff * st._UPB:(goff + gw) * st._UPB]))
     g_round = pieces[0] if len(pieces) == 1 else jnp.concatenate(
         pieces, axis=0)
     for off in range(0, bcap, st._CHUNK):
@@ -115,7 +117,7 @@ def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
 
         def do_chunk(best, t_c=t_c, tb_c=tb_c, g_c=g_c):
             out_ext = st._sweep(xt_round, g_c, t_c, tb_c, 0, tile,
-                                False)
+                                False, False)
             return st._merge(best, out_ext, t_c)
 
         best = jax.lax.cond(n_blocks > off, do_chunk, lambda b: b, best)

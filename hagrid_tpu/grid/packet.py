@@ -36,7 +36,7 @@ consumes:
   The tri id in column 16 is stored as a float *value* (exact for up to
   2^24 triangles) — NOT a bitcast bit pattern: ids below 2^23 are
   denormal bit patterns that TPU/XLA float ops flush to zero (found by
-  the CLI verify drive: every hit came back as tri 0). The trailing 8
+  the CLI verify drive: every hit came back as tri 0). The trailing 32
   zero rows are the DEAD gather target (det = 0 -> t = NaN, never
   hits) for padding slots.
 """
@@ -87,7 +87,7 @@ class PacketGrid:
 
     @property
     def ref_capacity(self) -> int:
-        return (self.cols.shape[0] - 8) // 3
+        return (self.cols.shape[0] - 32) // 3
 
     @property
     def overflowed(self):
@@ -202,7 +202,7 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
         reals.append(starts[num_cells])   # SAT-surviving refs
     rs_all = jnp.concatenate(rs_parts)
     cols_all = jnp.concatenate(
-        cols_parts + [jnp.zeros((8, MT_COLS), jnp.float32)])
+        cols_parts + [jnp.zeros((32, MT_COLS), jnp.float32)])
     return (rs_all, cols_all,
             jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)))
 
@@ -236,7 +236,7 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           rs=jnp.zeros((6,), jnp.int32),
-                          cols=jnp.zeros((3 * 256 + 8, MT_COLS),
+                          cols=jnp.zeros((3 * 256 + 32, MT_COLS),
                                          jnp.float32),
                           total_refs=jnp.int32(0),
                           total_pairs=jnp.int32(0), tris=tris)

@@ -16,12 +16,15 @@ out of the kernel:
    rect row, no device-wide scatters.
 
 2. **Compaction gather.** The ranges' refs are gathered into a dense
-   per-round panel stream `G` as 4-ref GROUP rows (256B rows gather at
-   ~3 ns/ref vs ~35 ns for 64B rows on this runtime), padded to
-   512-ref blocks per tile. Every block the kernel sees is (nearly)
-   fully occupied with exactly the refs some ray of the tile might
-   hit; the <=3-ref round-out at range ends only adds real triangles
-   of the same layout (conservative-correct).
+   per-round panel stream `G` in 32-ref UNITS — aligned (8, 80) row
+   tiles of the `cols` table. XLA row-gathers on TPU read whole
+   (8, 128)-lane tiles, so single 80-lane rows pay ~12.8x HBM read
+   amplification while aligned 8-row units pay only the 1.6x lane pad;
+   the unit round-out at range ends adds real triangles of the same
+   layout or zero pad rows (conservative-correct, measured ~1.3x refs
+   on Sponza primaries for ~5x cheaper gather + 8x cheaper item
+   packing). Units pack into 512-ref blocks per tile, (nearly) fully
+   occupied with exactly the refs some ray of the tile might hit.
 
 3. **Pallas sweep kernel (zero scalar control, static grid).** grid =
    (n_blocks,); one prefetched tile-id array drives the BlockSpecs: the
@@ -67,7 +70,15 @@ _RMAX = 4       # c-trimmed row ranges per (tile, slice); taller rects
 #                 of 8 (plan was ~6 ms/round, half of it these gathers).
 _CHUNK = 4096    # 512-ref blocks per pallas_call (16K SMEM prefetch)
 _GCHUNK = 1024   # blocks per gated gather piece (131072 group rows)
-_G = 4           # refs per gathered group row (256B rows)
+_G = 4           # refs per group row (one 80-lane row of `cols`)
+_U = 8           # group rows per GATHER UNIT: XLA row-gathers on TPU
+#                 read whole (8, 128)-lane tiles, so gathering single
+#                 80-lane rows pays ~12.8x HBM read amplification;
+#                 gathering aligned (8, 80) units pays 1.6x (the lane
+#                 pad only). Ranges round outward to 32-ref units —
+#                 the round-out rows are real refs of the same layout
+#                 (conservative) or zero pad rows (never hit).
+_UPB = 128 // _U  # gather units per 512-ref block
 _BREF = 128 * _G  # refs per block
 
 
@@ -77,7 +88,7 @@ _BREF = 128 * _G  # refs per block
 # (G (128, 16) blocks) — both sides broadcast without relayouts.
 # ----------------------------------------------------------------------
 
-def _make_kernel(tile: int, nt: int):
+def _make_kernel(tile: int, nt: int, any_hit: bool):
     def kernel(tile_of, tminb, xt_ref, g_ref, out_ref,
                acc_t, acc_id, acc_u, acc_v, acc_bt):
         i = pl.program_id(0)
@@ -124,7 +135,8 @@ def _make_kernel(tile: int, nt: int):
             my = xt_ref[8:9, :]
             mz = xt_ref[9:10, :]
             tmin = xt_ref[12:13, :]
-            tmax = xt_ref[13:14, :]
+            if any_hit:
+                tmax = xt_ref[13:14, :]
             # The block holds _G interleaved 128-tri sets (one per ref
             # position within the gathered 4-ref group rows); each set
             # intersects the whole tile via the PRECOMPUTED linear form
@@ -164,8 +176,14 @@ def _make_kernel(tile: int, nt: int):
                 # eps guard keeps near-parallel slivers from phantom
                 # far hits.
                 edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+                # Closest-hit seeds acc_t with min(best, tmax) (see
+                # _frame), so t < acc_t subsumes t < tmax; any-hit
+                # keeps the explicit test (its seed must stay the raw
+                # best for the found-a-hit done threshold).
                 ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
-                      & (t > tmin) & (t < tmax))
+                      & (t > tmin))
+                if any_hit:
+                    ok = ok & (t < tmax)
                 better = ok & (t < acc_t[:])
                 acc_t[:] = jnp.where(better, t, acc_t[:])
                 acc_id[:] = jnp.where(
@@ -197,7 +215,8 @@ def _make_kernel(tile: int, nt: int):
     return kernel
 
 
-def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, interpret):
+def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, any_hit,
+           interpret):
     """One block-chunk sweep over a STATIC grid (a dynamic Mosaic grid
     disables the block pipeline: measured 15us/item vs 1.8us). Dead
     blocks (tile_of == nt) revisit the dummy blocks and skip all vector
@@ -226,7 +245,7 @@ def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, interpret):
         ],
     )
     return pl.pallas_call(
-        _make_kernel(tile, nt),
+        _make_kernel(tile, nt, any_hit),
         out_shape=jax.ShapeDtypeStruct((8, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -238,11 +257,19 @@ def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, interpret):
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "tile"))
-def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
-    """Group rays by (major axis, sign) into tile-aligned segments via
-    masked cumsums (counting sort; no device-wide lax.sort). Returns
-    (xp_ext (rows, 16), xt_ext (16, rows), inv) with a trailing
-    all-dead dummy tile; inv maps row -> original ray (-1 padding)."""
+def _bin_rays(org, dir, tmin, tmax, n_pad, tile, bbox_lo=None,
+              bbox_hi=None):
+    """Group rays by (major axis, sign) into tile-aligned segments.
+    Returns (xp_ext (rows, 16), xt_ext (16, rows), inv) with a trailing
+    all-dead dummy tile; inv maps row -> original ray (-1 padding).
+
+    With a bbox, rays are additionally ordered WITHIN their group by
+    (full direction octant, origin Morton code) — incoherent secondary
+    waves (AO / path bounces) then form spatially tight tiles with
+    narrow frusta (SURVEY §3.5's ray sorting), and masked-dead rays
+    (tmax <= 0) cluster at the group tail where their all-dead tiles
+    are skipped by the planner — sort-based compaction without dynamic
+    shapes. Group segments stay tile-pure either way."""
     x = rays_to_x(org, dir, tmin, tmax)
     n = x.shape[0]
     d = x[:, 4:7]
@@ -253,14 +280,38 @@ def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
             < 0).astype(jnp.int32)
     g = axis * 2 + sign
 
-    ranks = jnp.zeros((n,), jnp.int32)
-    counts = []
-    for k in range(6):
-        mk = (g == k).astype(jnp.int32)
-        ck = jnp.cumsum(mk)
-        ranks = jnp.where(g == k, ck - 1, ranks)
-        counts.append(ck[-1])
-    counts = jnp.stack(counts)
+    if bbox_lo is None:
+        # Stable counting sort (no device-wide lax.sort): ranks within
+        # each group preserve caller order.
+        ranks = jnp.zeros((n,), jnp.int32)
+        counts = []
+        for k in range(6):
+            mk = (g == k).astype(jnp.int32)
+            ck = jnp.cumsum(mk)
+            ranks = jnp.where(g == k, ck - 1, ranks)
+            counts.append(ck[-1])
+        counts = jnp.stack(counts)
+    else:
+        from . import sortrays
+        a1 = (axis + 1) % 3
+        a2 = (axis + 2) % 3
+        s1 = (jnp.take_along_axis(d, a1[:, None], 1)[:, 0] >= 0)
+        s2 = (jnp.take_along_axis(d, a2[:, None], 1)[:, 0] >= 0)
+        oct2 = s1.astype(jnp.int32) * 2 + s2.astype(jnp.int32)
+        scale = 127.0 / (bbox_hi - bbox_lo + 1e-20)
+        q = jnp.clip(((x[:, 1:4] - bbox_lo) * scale).astype(jnp.int32),
+                     0, 127)
+        m = sortrays.morton3(q[:, 0], q[:, 1], q[:, 2])
+        sub = (oct2 << 21) | m                       # 23 bits
+        sub = jnp.where(x[:, 13] > 0, sub, (1 << 23) - 1)  # dead last
+        key = (g << 23) | sub
+        _, sidx = jax.lax.sort(
+            (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=True)
+        counts = jnp.zeros((6,), jnp.int32).at[g].add(1)
+        seg = jnp.cumsum(counts) - counts            # group starts
+        ranks = jnp.zeros((n,), jnp.int32).at[sidx].set(
+            jnp.arange(n, dtype=jnp.int32)) - seg[g]
     padded = -(-counts // tile) * tile
     offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(padded)[:-1].astype(jnp.int32)])
@@ -582,13 +633,15 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     t2 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + b1)
              * (n_c[:, None] + 1) + n_c[:, None])]
 
-    # Emit in 4-ref GROUP units (the gather granularity): round the
-    # ref range outward — the extra <=3 refs at each end are real
-    # triangles of the same layout (conservative-correct).
-    lo_g = jnp.concatenate([g1, t1[:, :, None]], axis=2) // _G
-    hi_r = jnp.concatenate([g2, t2[:, :, None]], axis=2)
+    # Emit in GATHER UNITS (32 refs): round the ref range outward — the
+    # extra refs at each end are real triangles of the same layout or
+    # zero pad rows (conservative-correct; layout offsets in rs are
+    # 256-multiples so units never straddle layouts).
+    refs_u = _G * _U
     lo_r = jnp.concatenate([g1, t1[:, :, None]], axis=2)
-    hi_g = -(-hi_r // _G)
+    hi_r = jnp.concatenate([g2, t2[:, :, None]], axis=2)
+    lo_g = lo_r // refs_u
+    hi_g = -(-hi_r // refs_u)
     ok3 = jnp.concatenate([row_ok, has_tail[:, :, None]], axis=2)
     cnt_g = jnp.where(ok3 & (hi_r > lo_r),
                       jnp.maximum(hi_g - lo_g, 0), 0)
@@ -612,27 +665,28 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
 
 
 def _items(starts, counts, thr, nt, slab, bcap, dead_idx):
-    """Pack the ranges' 4-ref groups into a dense per-round stream:
-    gidx (bcap*128,) group rows to gather (dead_idx for padding),
-    tile_of (bcap,) the owning tile per 128-group block (nt for unused
+    """Pack the ranges' gather units into a dense per-round stream:
+    gidx (bcap*_UPB,) unit indices to gather (dead_idx for padding),
+    tile_of (bcap,) the owning tile per 16-unit block (nt for unused
     blocks), tminb (bcap,) the per-block early-out threshold (min of
-    its rows' slot thresholds, i32 f32-bits), n_blocks, and the
-    unclamped block demand (overflow detection). Each tile's segment is
-    padded to a 128-group multiple so blocks never straddle tiles."""
+    its units' slot thresholds, i32 f32-bits), n_blocks, and the
+    unclamped unit demand (overflow detection). Each tile's segment is
+    padded to a block (16-unit) multiple so blocks never straddle
+    tiles."""
     nr = slab * (_RMAX + 1)
-    ucap = bcap * 128
+    ucap = bcap * _UPB
     cnt2 = counts.reshape(nt, nr)
     tile_tot = cnt2.sum(1)
-    tile_pad = -(-tile_tot // 128) * 128
+    tile_pad = -(-tile_tot // _UPB) * _UPB
     tile_base = jnp.cumsum(tile_pad) - tile_pad
     within = jnp.cumsum(cnt2, axis=1) - cnt2
     roff = (tile_base[:, None] + within).reshape(-1)
     demand = tile_base[-1] + tile_pad[-1]
 
     # Per-slot (start - roff) and threshold via scatter-delta + cumsum
-    # forward fill: piecewise-constant per range, NO per-slot gathers
-    # (3x ucap row-gathers measured ~30ms/round at bcap 6144). Stacked
-    # deltas of empty ranges telescope to the last range's value.
+    # forward fill: piecewise-constant per range, NO per-slot gathers.
+    # Stacked deltas of empty ranges telescope to the last range's
+    # value.
     sr = starts - roff
     d_sr = jnp.diff(sr, prepend=0)
     d_thr = jnp.diff(thr, prepend=0)
@@ -640,26 +694,26 @@ def _items(starts, counts, thr, nt, slab, bcap, dead_idx):
         d_sr, mode="drop"))
     thr_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
         d_thr, mode="drop"))
-    # Conservative per-block threshold: min over the block's rows
+    # Conservative per-block threshold: min over the block's units
     # (slice entry t is usually monotone within a tile, but quarters
     # dropping in/out of the rect union can break that; min is always
-    # safe). Pad rows carry a stale neighbor threshold — also safe.
-    tminb = thr_ff.reshape(bcap, 128).min(axis=1)
+    # safe). Pad units carry a stale neighbor threshold — also safe.
+    tminb = thr_ff.reshape(bcap, _UPB).min(axis=1)
 
-    n_blocks = jnp.minimum(demand // 128, bcap)
-    bmark = jnp.zeros((bcap,), jnp.int32).at[tile_base // 128].add(
+    n_blocks = jnp.minimum(demand // _UPB, bcap)
+    bmark = jnp.zeros((bcap,), jnp.int32).at[tile_base // _UPB].add(
         1, mode="drop")
     btile = jnp.clip(jnp.cumsum(bmark) - 1, 0, nt - 1)
     tile_of = jnp.where(jnp.arange(bcap) < n_blocks, btile, nt)
-    # Row validity from the owner tile's segment end (cheap (bcap,)
+    # Unit validity from the owner tile's segment end (cheap (bcap,)
     # gathers instead of a third ucap-wide forward-fill cumsum): pad
-    # rows within a block and whole blocks past the demand both fall
+    # units within a block and whole blocks past the demand both fall
     # beyond their owner's end.
     own_end = (tile_base + tile_tot)[jnp.minimum(btile, nt - 1)]
-    slot = (jnp.arange(bcap, dtype=jnp.int32) * 128)[:, None] \
-        + jnp.arange(128, dtype=jnp.int32)[None, :]
+    slot = (jnp.arange(bcap, dtype=jnp.int32) * _UPB)[:, None] \
+        + jnp.arange(_UPB, dtype=jnp.int32)[None, :]
     valid = slot < own_end[:, None]
-    gidx = jnp.where(valid, slot + sr_ff.reshape(bcap, 128), dead_idx)
+    gidx = jnp.where(valid, slot + sr_ff.reshape(bcap, _UPB), dead_idx)
     return gidx.reshape(-1), tile_of, tminb, n_blocks, demand
 
 
@@ -708,8 +762,11 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
             jnp.zeros((nt, tile), jnp.float32))
     ka = per_tile["k0"]
     step = per_tile["step"]
-    cols_g = cols.reshape(-1, 20 * _G)     # 4-ref group rows (320B)
-    dead_idx = cols_g.shape[0] - 1         # all-zero tail rows
+    # Gather units: aligned (8, 80) row tiles (see _U above). The 8
+    # zero tail rows of `cols` form exactly the last unit — the dead
+    # gather target.
+    cols_u = cols.reshape(-1, _U, 20 * _G)
+    dead_idx = cols_u.shape[0] - 1
     overflow = jnp.int32(0)
     demand_max = jnp.int32(0)              # peak per-round block demand
     # bcaps: per-round static block budgets (measured round demands
@@ -721,33 +778,42 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
                                     slab, any_hit)
         gidx, tile_of, tminb, n_blocks, demand = _items(
             starts, counts, thr, nt, slab, bcap, dead_idx)
-        overflow = overflow | (demand > bcap * 128)
-        demand_max = jnp.maximum(demand_max, demand // 128)
+        overflow = overflow | (demand > bcap * _UPB)
+        demand_max = jnp.maximum(demand_max, demand // _UPB)
         # Kernel seed row: current best per binned lane (dummy tile
-        # keeps -BIG so its blocks are skipped outright).
+        # keeps -BIG so its blocks are skipped outright). Closest-hit
+        # folds tmax into the seed so the kernel drops its per-pair
+        # t < tmax test; any-hit seeds the raw best (its done
+        # threshold means "found any hit", which a tmax seed would
+        # trip immediately).
+        seed = best[0]
+        if not any_hit:
+            tmax_l = xp_ext[:nt * tile, 13].reshape(nt, tile)
+            seed = jnp.minimum(seed, tmax_l)
         xt_round = jax.lax.dynamic_update_slice(
             xt_ext,
-            jnp.concatenate([best[0].reshape(1, -1),
+            jnp.concatenate([seed.reshape(1, -1),
                              jnp.full((1, tile), -_BIG)], axis=1),
             (14, 0))
         # Gather in cond-gated pieces so round slack is never gathered
-        # (256B group rows gather at ~3ns/ref; the pieces are XLA ops
-        # inside the frame, launch-free). Pieces concatenate instead of
-        # updating one bcap-wide canvas: no giant buffer is threaded
-        # through the conds.
+        # (aligned (8, 80) units read ~1.6x their bytes vs ~12.8x for
+        # single 80-lane rows; the pieces are XLA ops inside the frame,
+        # launch-free). Pieces concatenate instead of updating one
+        # bcap-wide canvas: no giant buffer is threaded through the
+        # conds.
         pieces = []
         for goff in range(0, bcap, _GCHUNK):
             gw = min(_GCHUNK, bcap - goff)
 
             def do_gather(gi, gw=gw):
-                return cols_g[gi]
+                return cols_u[gi].reshape(gw * 128, 20 * _G)
 
             def skip(gi, gw=gw):
                 return jnp.zeros((gw * 128, 20 * _G), jnp.float32)
 
             pieces.append(jax.lax.cond(
                 n_blocks > goff, do_gather, skip,
-                gidx[goff * 128:(goff + gw) * 128]))
+                gidx[goff * _UPB:(goff + gw) * _UPB]))
         g_round = pieces[0] if len(pieces) == 1 else jnp.concatenate(
             pieces, axis=0)
         # Sweep launches are fixed-count; unused blocks carry the dummy
@@ -761,7 +827,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
 
             def do_chunk(best, t_c=t_c, tb_c=tb_c, g_c=g_c):
                 out_ext = _sweep(xt_round, g_c, t_c, tb_c, 0, tile,
-                                 interpret)
+                                 any_hit, interpret)
                 return _merge(best, out_ext, t_c)
 
             best = jax.lax.cond(n_blocks > off, do_chunk,
@@ -815,7 +881,8 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         inv = None
     else:
         xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
-                                        rays.tmax, n_pad, tile)
+                                        rays.tmax, n_pad, tile,
+                                        grid.bbox_lo, grid.bbox_hi)
 
     # Per-round budget ladder: round demands decay fast once rays start
     # terminating (measured 4493/2213/0 blocks on Sponza primaries), and
