@@ -76,6 +76,11 @@ def bench_primary(session, rays, w, h, iters, extra):
     log(f"hit fraction: {frac:.3f}")
     extra.update(rays=w * h, hit_fraction=round(frac, 4),
                  latency_ms=round(lat_s * 1e3, 2))
+    if session.structure == "irregular":
+        from hagrid_tpu.ops.wavefront import last_trace_stats
+        ms = last_trace_stats["mean_steps"]
+        log(f"mean marched steps/ray: {ms:.1f}")
+        extra["mean_steps_per_ray"] = round(ms, 2)
     return mrays
 
 

@@ -118,7 +118,14 @@ class IrregularGrid:
 @functools.partial(jax.jit,
                    static_argnames=("top_dims", "levels", "rt_cap"))
 def _stage_top(tris, bbox_lo, bbox_hi, top_dims, levels, snd_density,
-               rt_cap):
+               ref_growth, rt_cap):
+    """`levels` is the STRUCTURAL maximum (params.levels + 1): the
+    density heuristic demands a resolution per cell and a ref-growth
+    cap grants it — over-dense cells of small triangles get the extra
+    refinement level (the reference's iterative subdivision deepens
+    exactly where density stays high, src/build.cu), while cells of
+    large triangles (foliage) are auto-coarsened because subdividing
+    them multiplies refs without separating them."""
     lo, hi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, top_dims)
     span = hi - lo + 1
     counts = span[:, 0] * span[:, 1] * span[:, 2]
@@ -135,12 +142,42 @@ def _stage_top(tris, bbox_lo, bbox_hi, top_dims, levels, snd_density,
     skeys, srefs = sort_pairs(key, jnp.where(valid, tri_idx, -1))
     top_starts = segment_starts(skeys, n_top)
 
-    # Per-top-cell second-level resolution from the local density heuristic:
-    # side = cbrt(snd_density * n_c) rounded UP to a power of two, clamped.
+    # Per-top-cell second-level resolution. Demand side: the density
+    # heuristic side = cbrt(snd_density * n_c) rounded UP to a power of
+    # two. Supply side: per-cell projected ref count at resolution r,
+    #   refs(r) <= A3 s^3 + A2 s^2 + A1 s + n_c,  s = 2^(r - levels),
+    # from each tri's fine-voxel span polynomial prod_i (a_i s + 1)
+    # summed per cell; the cell takes the deepest demanded r whose
+    # projected refs stay within ref_growth * n_c.
     n_c = jnp.diff(top_starts).astype(jnp.float32)
     side = jnp.cbrt(snd_density * n_c)
-    res_log = jnp.ceil(jnp.log2(jnp.maximum(side, 1.0))).astype(jnp.int32)
-    res_log = jnp.clip(res_log, 0, levels)
+    res_d = jnp.ceil(jnp.log2(jnp.maximum(side, 1.0))).astype(jnp.int32)
+
+    fine_dims = tuple(d << levels for d in top_dims)
+    flo, fhi = tri_voxel_ranges(tris, bbox_lo, bbox_hi, fine_dims)
+    a = (fhi - flo + 1).astype(jnp.float32)
+    tri_poly = jnp.stack(
+        [a.sum(1),
+         a[:, 0] * a[:, 1] + a[:, 0] * a[:, 2] + a[:, 1] * a[:, 2],
+         a[:, 0] * a[:, 1] * a[:, 2]], axis=1)
+    pv = jnp.where((skeys < n_top)[:, None],
+                   tri_poly[jnp.maximum(srefs, 0)], 0.0)
+    A = jnp.zeros((n_top + 1, 3), jnp.float32).at[
+        jnp.minimum(skeys, n_top)].add(pv, mode="drop")
+    A1, A2, A3 = A[:n_top, 0], A[:n_top, 1], A[:n_top, 2]
+    # Small cells refine freely (a few hundred refs cost nothing and
+    # tiny scenes — Cornell walls — would otherwise never subdivide);
+    # the cap exists to stop the San-Miguel-style blowup where dense
+    # cells of LARGE triangles multiply refs without separating them.
+    budget = jnp.maximum(ref_growth * n_c, 512.0)
+    res_cap = jnp.zeros_like(res_d)
+    for r in range(1, levels + 1):
+        sc = 2.0 ** (r - levels)
+        proj = ((A3 * sc + A2) * sc + A1) * sc + n_c
+        # refs(r) is monotone in r, so the running where keeps the
+        # deepest affordable resolution.
+        res_cap = jnp.where(proj <= budget, r, res_cap)
+    res_log = jnp.clip(jnp.minimum(res_d, res_cap), 0, levels)
     sizes = jnp.int32(1) << (3 * res_log)
     offsets = exclusive_scan(sizes)
     e_total = offsets[-1] + sizes[-1]
@@ -584,10 +621,11 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
                     top_dims: tuple | None = None) -> IrregularGrid:
     params = params or BuildParams()
     # The packed lookup encodes top_info = offset << 3 | res_log: res_log
-    # (clamped to `levels`) must fit in 3 bits or the table silently
-    # corrupts. Validate here so every entry point (CLI included) is safe.
-    if not 0 <= params.levels <= 7:
-        raise ValueError(f"BuildParams.levels must be in [0, 7], "
+    # (clamped to the structural max params.levels + 1) must fit in 3
+    # bits or the table silently corrupts. Validate here so every entry
+    # point (CLI included) is safe.
+    if not 0 <= params.levels <= 6:
+        raise ValueError(f"BuildParams.levels must be in [0, 6], "
                          f"got {params.levels}")
     if tris.count == 0:
         # Degenerate but legal: one empty unit-box cell, every ray misses.
@@ -617,7 +655,9 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
     n = tris.count
     if top_dims is None:
         top_dims = density_dims(hi - lo, n, params.top_density)
-    levels = params.levels
+    # Structural max res: one level beyond the density default, granted
+    # per cell only where the ref-growth cap allows (see _stage_top).
+    levels = params.levels + 1
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
 
@@ -630,7 +670,8 @@ def build_irregular(tris: Triangles, params: BuildParams | None = None,
     while True:
         (top_starts, top_keys, top_refs, rt_total, res_log, offsets,
          e_total) = _stage_top(tris, bbox_lo, bbox_hi, top_dims, levels,
-                               params.snd_density, rt_cap)
+                               params.snd_density, params.ref_growth,
+                               rt_cap)
         t = int(jax.device_get(rt_total))
         if t <= rt_cap:
             break

@@ -231,7 +231,8 @@ def max_march_iters(fine_dims, max_refs_per_cell: int = 0,
 
 #: Observability for the last `trace` call (see SURVEY.md §5 metrics):
 #: rays still alive when the safety cap expired (0 in healthy runs).
-last_trace_stats = {"truncated_rays": 0, "rounds": 0}
+last_trace_stats = {"truncated_rays": 0, "rounds": 0,
+                    "mean_steps": 0.0}
 
 
 def trace_wavefront(rays: Rays, tris: Triangles, lookup, starts, ref_ids,
@@ -299,8 +300,10 @@ def _jit_segment(grid, state, lookup_fn, refs_per_iter, any_hit, cap):
 
     def body_it(st):
         it = st.pop("it")
+        steps = st.pop("steps") + st["alive"].astype(jnp.int32)
         out = body(st)
         out["it"] = it + 1
+        out["steps"] = steps
         return out
 
     out = jax.lax.while_loop(cond, body_it, state)
@@ -317,6 +320,7 @@ def _jit_scatter(out, state):
         best_id=out["best_id"].at[idx].set(state["best_id"]),
         best_u=out["best_u"].at[idx].set(state["best_u"]),
         best_v=out["best_v"].at[idx].set(state["best_v"]),
+        steps=out["steps"].at[idx].set(state["steps"]),
     )
 
 
@@ -355,11 +359,13 @@ def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
     """
     n = rays.count
     state = _jit_init(grid, rays, lookup_fn)
+    state = dict(state, steps=jnp.zeros((n,), jnp.int32))
     out = dict(
         best_t=jnp.full((n,), jnp.inf, jnp.float32),
         best_id=jnp.full((n,), -1, jnp.int32),
         best_u=jnp.zeros((n,), jnp.float32),
         best_v=jnp.zeros((n,), jnp.float32),
+        steps=jnp.zeros((n,), jnp.int32),
     )
     import os
     import time
@@ -401,6 +407,11 @@ def trace(grid, lookup_fn, rays: Rays, refs_per_iter: int = 2,
             cap *= 2
     last_trace_stats["truncated_rays"] = live
     last_trace_stats["rounds"] = rounds
+    # Mean marched steps per ray (SURVEY §5 metrics; the reference's
+    # traversal-cost yardstick). Host read is free here: this
+    # orchestrator already syncs per round.
+    last_trace_stats["mean_steps"] = float(
+        jax.device_get(out["steps"].sum())) / max(n, 1)
     found = out["best_id"] >= 0
     return Hits(tri_id=out["best_id"],
                 t=jnp.where(found, out["best_t"], jnp.inf),

@@ -23,8 +23,14 @@ class BuildParams:
     # Max air-octree coalescing depth over TOP cells (aligned 2^k cubes).
     air_levels: int = 5
     # Max second-level resolution per top cell (power of two), i.e. the
-    # reference grid's `shift`: fine grid = top dims << levels.
+    # reference grid's `shift`: fine grid = top dims << levels. Cells
+    # whose density demands more AND whose projected ref growth stays
+    # within ref_growth get one extra level (irregular._stage_top).
     levels: int = 3
+    # Per-cell refinement budget: a cell may refine only while its
+    # projected refs stay <= ref_growth * its tri count. Large-triangle
+    # cells (foliage) auto-coarsen instead of exploding refs.
+    ref_growth: float = 4.0
     # Compact dead (merged-away) cell rows after optimization.
     compact: bool = True
     # Grow cell bboxes into non-empty neighbors whose ref list is a

@@ -44,10 +44,15 @@ def test_build_no_merge_no_expand():
 def test_merging_reduces_cells():
     v, f = scenes.cornell_box()
     tris = Triangles.from_mesh(v, f)
-    p0 = BuildParams(top_density=0.3, snd_density=2.0, levels=2,
-                     merge_passes=0, expansion_passes=0, buddy_passes=0)
-    p1 = BuildParams(top_density=0.3, snd_density=2.0, levels=2,
-                     merge_passes=3, expansion_passes=0, buddy_passes=0)
+    # levels=1 -> structural max 2, and ref_growth=inf disables the
+    # refinement budget: identical cells to the pre-budget builder,
+    # where Cornell's subdivision leaves SAH-mergeable neighbors.
+    p0 = BuildParams(top_density=0.3, snd_density=2.0, levels=1,
+                     ref_growth=1e9, merge_passes=0,
+                     expansion_passes=0, buddy_passes=0)
+    p1 = BuildParams(top_density=0.3, snd_density=2.0, levels=1,
+                     ref_growth=1e9, merge_passes=3,
+                     expansion_passes=0, buddy_passes=0)
     g0 = build_irregular(tris, p0)
     g1 = build_irregular(tris, p1)
     assert g1.stats()["cells"] < g0.stats()["cells"]
