@@ -39,9 +39,13 @@ def _common(ap: argparse.ArgumentParser):
     # Default matches BuildParams (the benched configuration): one SAH pass
     # after the cheap buddy/air coalescing passes.
     ap.add_argument("--merge-passes", type=int, default=1)
-    ap.add_argument("--levels", type=int, default=3, choices=range(0, 8),
-                    help="max per-cell subdivision log2 (0..7: the packed "
-                         "top_info word keeps 3 bits for it)")
+    ap.add_argument("--levels", type=int, default=3, choices=range(0, 7),
+                    help="max per-cell subdivision log2 (0..6: the packed "
+                         "top_info word keeps 3 bits, and over-dense "
+                         "cells may take one demand-gated extra level)")
+    ap.add_argument("--sanitize", action="store_true",
+                    help="replay the sweep planning under checkify "
+                         "(NaN/index/div) before tracing (packet only)")
     ap.add_argument("--structure",
                     choices=("packet", "irregular", "uniform"),
                     default="packet")
@@ -92,6 +96,10 @@ def cmd_render(args):
     from hagrid_tpu.io.image import shade_eyelight, write_png, write_ppm
     w, h = (int(x) for x in args.size.split("x"))
     rays = primary_rays(cam, w, h, order="block")
+    if getattr(args, "sanitize", False) and session.structure == "packet":
+        from hagrid_tpu.utils.sanitize import check_sweep_plan
+        stats = check_sweep_plan(session.grid, rays)
+        print(f"sanitizer: plan clean ({stats})")
     t0 = time.perf_counter()
     hits = session.trace(rays)
     dt = time.perf_counter() - t0
