@@ -143,12 +143,20 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity):
         counts = span[:, 0] * span[:, 1] * span[:, 2]
         tri_idx, rank, valid, total = expand_by_counts(counts,
                                                       ref_capacity)
-        # One fused (lo, span) gather per pair (row gathers are
-        # latency-bound, so fewer wide rows beat many narrow ones).
-        lospan = jnp.concatenate([lo, span, jnp.zeros_like(lo[:, :2])],
-                                 axis=1)[tri_idx]
-        s = lospan[:, 3:6]
-        l = lospan[:, 0:3]
+        # Per-pair (lo, span) WITHOUT a row gather: these are per-tri
+        # INT fields constant within each expansion run, so a delta
+        # scatter at run starts + column cumsum forward-fills them
+        # exactly (a row gather reads a whole (8,128) tile per 24B row
+        # — ~170x read amplification at this width).
+        lospan_t = jnp.concatenate([lo, span], axis=1)
+        d_ls = jnp.diff(lospan_t, axis=0, prepend=jnp.zeros(
+            (1, 6), lospan_t.dtype))
+        run_starts = jnp.cumsum(counts) - counts
+        ls_ff = jnp.cumsum(
+            jnp.zeros((ref_capacity, 6), jnp.int32).at[run_starts].add(
+                d_ls, mode="drop"), axis=0)
+        s = ls_ff[:, 3:6]
+        l = ls_ff[:, 0:3]
         dx = rank % s[:, 0]
         rem = rank // s[:, 0]
         dy = rem % s[:, 1]

@@ -52,7 +52,14 @@ def expand_by_counts(counts: jnp.ndarray, capacity: int):
     src = jnp.cumsum(markers) - 1
     src = jnp.clip(src, 0, max(counts.shape[0] - 1, 0))
     j = jnp.arange(capacity, dtype=jnp.int32)
-    rank = j - offsets[src]
+    # offsets[src] without the per-slot gather (row gathers read whole
+    # (8,128) tiles — ~64x amplification for i32): delta-scatter +
+    # cumsum forward fill, exact for ints; stacked deltas of empty runs
+    # telescope to the last run's offset.
+    d_off = jnp.diff(offsets, prepend=0)
+    off_ff = jnp.cumsum(jnp.zeros((capacity,), jnp.int32).at[offsets].add(
+        d_off, mode="drop"))
+    rank = j - off_ff
     valid = j < total
     return src, rank, valid, total
 
