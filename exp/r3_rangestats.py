@@ -49,7 +49,7 @@ def plan_stats(xp_ext):
                                           grid.dims3)
     per_ray, per_tile = st._precompute(xp_ext[:nt * TILE], cs_tab,
                                        n_tab, lo_tab, grid.bbox_lo,
-                                       grid.bbox_hi, TILE)
+                                       grid.bbox_hi, TILE, grid.planes)
     traceable = xp_ext[:nt * TILE, 13].reshape(nt, TILE) > 0
     best0 = jnp.where(traceable, st._BIG, -st._BIG)
     ka = per_tile["k0"]

@@ -63,13 +63,13 @@ BCAP = 7296
 
 @functools.partial(jax.jit, static_argnames=("dims3", "slab", "tile",
                                              "bcap", "mode"))
-def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
+def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
                dims3, slab, tile, bcap, mode):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = st._tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = st._precompute(xp_ext[:nt * tile], cs_tab,
                                        n_tab, lo_tab, bbox_lo, bbox_hi,
-                                       tile)
+                                       tile, planes)
     traceable = xp_ext[:nt * tile, 13].reshape(nt, tile) > 0
     best = (jnp.where(traceable, st._BIG, -st._BIG),
             jnp.full((nt, tile), -1, jnp.int32),
@@ -124,7 +124,8 @@ def frame_mode(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
     return best[0].sum() + best[1].sum()
 
 
-args = (xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols)
+args = (xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
+        grid.planes)
 for mode in ("normal", "skip_all", "skip_none"):
     t = timed_pipe(functools.partial(
         frame_mode, dims3=grid.dims3, slab=da_max, tile=TILE,

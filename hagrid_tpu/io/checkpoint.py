@@ -18,7 +18,7 @@ from ..grid.packet import PacketGrid
 from ..grid.uniform import UniformGrid
 
 _PACKET_FIELDS = ("bbox_lo", "bbox_hi", "rs", "cols",
-                  "total_refs", "total_pairs")
+                  "total_refs", "total_pairs", "planes")
 
 
 def save_grid(path: str, grid) -> None:

@@ -360,7 +360,8 @@ def _tile_tabs(bbox_lo, bbox_hi, dims3):
     return (jnp.stack(cs_rows), jnp.stack(n_rows), jnp.stack(lo_rows))
 
 
-def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile):
+def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile,
+                planes):
     """Static per-ray / per-tile quantities for the round loop.
     Traced — called inside the frame jit."""
     nt = xp.shape[0] // tile
@@ -409,23 +410,27 @@ def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile):
     alive = enter <= leave
 
     # Per-tile grid constants.
-    cs_a = cs_tab[axis, 0]
-    lo_a = lo_tab[axis, 0]
     n_a = n_tab[axis, 0]
 
-    # Entry slice from the packet's entry points.
+    # Entry slice from the packet's entry points: slice k spans
+    # [P_k, P_{k+1}) of the per-layout (possibly non-uniform) plane
+    # table, so the containing slice = count of interior planes <= pos.
     pa_in = o_a + enter * d_a
     pa_sel = jnp.where(alive, pa_in, jnp.where(step[:, None] > 0,
                                                _BIG, -_BIG))
     front = jnp.where(step > 0, jnp.min(pa_sel, axis=1),
                       jnp.max(pa_sel, axis=1))
-    k0 = jnp.clip(jnp.floor((front - lo_a) / cs_a).astype(jnp.int32),
-                  0, n_a - 1)
+    p_tile = planes[axis]                       # (nt, PMAX)
+    pidx = jnp.arange(planes.shape[1], dtype=jnp.int32)
+    interior = (pidx[None, :] >= 1) & (pidx[None, :] <= n_a[:, None] - 1)
+    k0 = jnp.sum(((p_tile <= front[:, None]) & interior).astype(
+        jnp.int32), axis=1)
+    k0 = jnp.clip(k0, 0, n_a - 1)
 
     per_ray = dict(o_a=o_a, o_b=o_b, o_c=o_c, d_a=d_a, d_b=d_b, d_c=d_c,
                    inv_a=inv_a, enter=enter, leave=leave, alive=alive,
                    tmax=tmax)
-    per_tile = dict(axis=axis, step=step, k0=k0)
+    per_tile = dict(axis=axis, step=step, k0=k0, p_tile=p_tile)
     return per_ray, per_tile
 
 
@@ -444,10 +449,8 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     axis = per_tile["axis"]
     step = per_tile["step"]
     nt = axis.shape[0]
-    cs_a = cs_tab[axis, 0]
     cs_b = cs_tab[axis, 1]
     cs_c = cs_tab[axis, 2]
-    lo_a = lo_tab[axis, 0]
     lo_b = lo_tab[axis, 1]
     lo_c = lo_tab[axis, 2]
     n_a = n_tab[axis, 0]
@@ -455,7 +458,12 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     n_c = n_tab[axis, 2]
 
     # Ray liveness: best hit precedes the slab's entry plane -> done.
-    plane0 = lo_a + (ka + (step < 0)).astype(jnp.float32) * cs_a
+    # Plane positions come from the per-layout table (non-uniform
+    # slice spacing; see grid/packet._slice_planes).
+    p_tile = per_tile["p_tile"]                         # (nt, PMAX)
+    plane0 = jnp.take_along_axis(
+        p_tile, jnp.clip(ka + (step < 0), 0, n_a)[:, None],
+        axis=1)[:, 0]
     t_entry = (plane0[:, None] - per_ray["o_a"]) * per_ray["inv_a"]
     lim = jnp.minimum(per_ray["tmax"], per_ray["leave"])
     if any_hit:
@@ -492,9 +500,10 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     # Slab slices: (nt, S); per-quarter per-slice t range and rect.
     ks = ka[:, None] + step[:, None] * jnp.arange(slab, dtype=jnp.int32)
     k_ok = (ks >= 0) & (ks < n_a[:, None])
-    kf = ks.astype(jnp.float32)
-    pl0 = lo_a[:, None] + kf * cs_a[:, None]           # (nt, S)
-    pl1 = pl0 + cs_a[:, None]
+    ks_cl = jnp.clip(ks, 0, n_a[:, None])
+    pl0 = jnp.take_along_axis(p_tile, ks_cl, axis=1)   # (nt, S)
+    pl1 = jnp.take_along_axis(
+        p_tile, jnp.minimum(ks_cl + 1, n_a[:, None]), axis=1)
 
     def tq(p):  # (nt,S) plane x (nt,SUB) bounds -> (nt,SUB,S)
         cands = []
@@ -746,12 +755,13 @@ def _merge(best, out_ext, tile_of):
 
 @functools.partial(jax.jit, static_argnames=(
     "dims3", "slab", "any_hit", "tile", "bcaps", "interpret"))
-def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols,
+def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
            dims3, slab, any_hit, tile, bcaps, interpret):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
-                                    lo_tab, bbox_lo, bbox_hi, tile)
+                                    lo_tab, bbox_lo, bbox_hi, tile,
+                                    planes)
     # Untraceable lanes (padding, and tmax<=0 "masked dead" secondary
     # rays) get best = -BIG so the kernel's all-lanes-done early-out
     # can still fire for their tiles; they can never produce a hit.
@@ -901,7 +911,7 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     bcaps = tuple(_cap(r) for r in range(max_rounds))
     best, overflow, demand = _frame(
         xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
-        grid.dims3, slab, any_hit, tile, bcaps, interpret)
+        grid.planes, grid.dims3, slab, any_hit, tile, bcaps, interpret)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the

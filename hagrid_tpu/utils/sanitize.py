@@ -36,13 +36,13 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
     xp_ext, _ = st._pad_coherent(rays.org, rays.dir, rays.tmin,
                                  rays.tmax, n_pad, tile)
 
-    def planned(xp_ext, bbox_lo, bbox_hi, rs):
+    def planned(xp_ext, bbox_lo, bbox_hi, rs, planes):
         nt = xp_ext.shape[0] // tile - 1
         cs_tab, n_tab, lo_tab = st._tile_tabs(bbox_lo, bbox_hi,
                                               grid.dims3)
         per_ray, per_tile = st._precompute(
             xp_ext[:nt * tile], cs_tab, n_tab, lo_tab, bbox_lo,
-            bbox_hi, tile)
+            bbox_hi, tile, planes)
         traceable = xp_ext[:nt * tile, 13].reshape(nt, tile) > 0
         best0 = jnp.where(traceable, st._BIG, -st._BIG)
         starts, counts, thr = st._plan(
@@ -58,7 +58,7 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
     checked = checkify.checkify(planned, errors=errs)
     err, (starts, counts, gidx, tile_of, n_blocks,
           demand) = jax.jit(checked)(xp_ext, grid.bbox_lo, grid.bbox_hi,
-                                     grid.rs)
+                                     grid.rs, grid.planes)
     err.throw()
 
     starts_h = np.asarray(starts)
