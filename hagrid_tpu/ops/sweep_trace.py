@@ -257,19 +257,21 @@ def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, any_hit,
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "tile"))
-def _bin_rays(org, dir, tmin, tmax, n_pad, tile, bbox_lo=None,
-              bbox_hi=None):
-    """Group rays by (major axis, sign) into tile-aligned segments.
+def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
+    """Group rays by (major axis, sign) into tile-aligned segments via
+    masked cumsums (stable counting sort; no device-wide lax.sort).
     Returns (xp_ext (rows, 16), xt_ext (16, rows), inv) with a trailing
     all-dead dummy tile; inv maps row -> original ray (-1 padding).
 
-    With a bbox, rays are additionally ordered WITHIN their group by
-    (full direction octant, origin Morton code) — incoherent secondary
-    waves (AO / path bounces) then form spatially tight tiles with
-    narrow frusta (SURVEY §3.5's ray sorting), and masked-dead rays
-    (tmax <= 0) cluster at the group tail where their all-dead tiles
-    are skipped by the planner — sort-based compaction without dynamic
-    shapes. Group segments stay tile-pure either way."""
+    Masked-dead rays (tmax <= 0) go to a 7th group so live tiles stay
+    densely packed — sort-based compaction with static shapes. Within
+    groups the stable sort PRESERVES caller order, which for camera-
+    derived secondary waves carries image-block origin locality finer
+    than any scene-space code: re-ordering an AO wave by (direction
+    octant, 7-bit origin Morton) was measured to cost +33% block
+    demand (Sponza 256^2 wave-1, plan-only probe), so no Morton pass
+    here; ops/sortrays stays available for caller-side sorting of
+    genuinely orderless waves."""
     x = rays_to_x(org, dir, tmin, tmax)
     n = x.shape[0]
     d = x[:, 4:7]
@@ -278,40 +280,16 @@ def _bin_rays(org, dir, tmin, tmax, n_pad, tile, bbox_lo=None,
                      jnp.where(ad[:, 1] >= ad[:, 2], 1, 2))
     sign = (jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
             < 0).astype(jnp.int32)
-    g = axis * 2 + sign
+    g = jnp.where(x[:, 13] > 0, axis * 2 + sign, 6)
 
-    if bbox_lo is None:
-        # Stable counting sort (no device-wide lax.sort): ranks within
-        # each group preserve caller order.
-        ranks = jnp.zeros((n,), jnp.int32)
-        counts = []
-        for k in range(6):
-            mk = (g == k).astype(jnp.int32)
-            ck = jnp.cumsum(mk)
-            ranks = jnp.where(g == k, ck - 1, ranks)
-            counts.append(ck[-1])
-        counts = jnp.stack(counts)
-    else:
-        from . import sortrays
-        a1 = (axis + 1) % 3
-        a2 = (axis + 2) % 3
-        s1 = (jnp.take_along_axis(d, a1[:, None], 1)[:, 0] >= 0)
-        s2 = (jnp.take_along_axis(d, a2[:, None], 1)[:, 0] >= 0)
-        oct2 = s1.astype(jnp.int32) * 2 + s2.astype(jnp.int32)
-        scale = 127.0 / (bbox_hi - bbox_lo + 1e-20)
-        q = jnp.clip(((x[:, 1:4] - bbox_lo) * scale).astype(jnp.int32),
-                     0, 127)
-        m = sortrays.morton3(q[:, 0], q[:, 1], q[:, 2])
-        sub = (oct2 << 21) | m                       # 23 bits
-        sub = jnp.where(x[:, 13] > 0, sub, (1 << 23) - 1)  # dead last
-        key = (g << 23) | sub
-        _, sidx = jax.lax.sort(
-            (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
-            is_stable=True)
-        counts = jnp.zeros((6,), jnp.int32).at[g].add(1)
-        seg = jnp.cumsum(counts) - counts            # group starts
-        ranks = jnp.zeros((n,), jnp.int32).at[sidx].set(
-            jnp.arange(n, dtype=jnp.int32)) - seg[g]
+    ranks = jnp.zeros((n,), jnp.int32)
+    counts = []
+    for k in range(7):
+        mk = (g == k).astype(jnp.int32)
+        ck = jnp.cumsum(mk)
+        ranks = jnp.where(g == k, ck - 1, ranks)
+        counts.append(ck[-1])
+    counts = jnp.stack(counts)
     padded = -(-counts // tile) * tile
     offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(padded)[:-1].astype(jnp.int32)])
@@ -877,7 +855,7 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     if slab is None:
         slab = da_max
     n = rays.count
-    n_pad = (-(-n // tile) + (0 if coherent else 6)) * tile
+    n_pad = (-(-n // tile) + (0 if coherent else 7)) * tile
     nt = n_pad // tile
     max_rounds = -(-da_max // slab)
     if bmax is None:
@@ -891,8 +869,7 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         inv = None
     else:
         xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
-                                        rays.tmax, n_pad, tile,
-                                        grid.bbox_lo, grid.bbox_hi)
+                                        rays.tmax, n_pad, tile)
 
     # Per-round budget ladder: round demands decay fast once rays start
     # terminating (measured 4493/2213/0 blocks on Sponza primaries), and
