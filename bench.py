@@ -195,10 +195,7 @@ def main():
 
     from hagrid_tpu.utils.config import BuildParams
 
-    if scene_name == "san_miguel" and args.structure == "irregular":
-        # Foliage-heavy scene: a finer grid explodes ref counts/HBM.
-        params = BuildParams(levels=2, snd_density=1.0, top_density=0.08)
-    elif args.workload == "dynamic" and args.structure == "irregular":
+    if args.workload == "dynamic" and args.structure == "irregular":
         params = BuildParams.dynamic()  # rebuild-dominated workload
     else:
         params = BuildParams()

@@ -132,8 +132,10 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
     from .uniform import tri_box_overlap
 
     r_cap = grid.ref_capacity
-    # Col 16 is the tri id as a float VALUE (grid/packet.py docstring).
-    ids_all = np.asarray(grid.cols[:, 16]).astype(np.int32)
+    # cols stores 4-ref GROUP rows; per-ref col 16 is the tri id as a
+    # float VALUE (grid/packet.py docstring) — positions 16, 36, 56, 76.
+    ids_all = np.asarray(grid.cols)[:, 16::20].reshape(-1).astype(
+        np.int32)
     n_tris = grid.tris.count
     rng = np.random.default_rng(seed)
 

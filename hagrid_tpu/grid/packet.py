@@ -24,7 +24,11 @@ consumes:
   row (k, j) at column >= c (layout offset a*R_cap folded into the
   value). A frustum rect's refs in row (k, j) are the contiguous span
   [rs[k,j,c0], rs[k,j,c1+1]).
-- `cols` f32[3*R_cap + 8, 20]: per-ref PRECOMPUTED intersection rows
+- `cols` f32[(3*R_cap + 32) / 4, 80]: GROUP rows of 4 consecutive
+  per-ref PRECOMPUTED intersection rows (20 floats each; 4-ref groups
+  are the tracer's gather granularity, and an 80-lane group row packs
+  a (8,128) HBM tile 62.5%% full where single 20-lane rows would pack
+  it 15.6%% — the per-ref layout wrote 4x the HBM). Per-ref row:
   [n(3) -e2(3) -(v0 x e2)(3) e1(3) (v0 x e1)(3) v0.n tri_id zeros(3)]
   in sorted order per layout. With x = (o, d, m = o x d) these make
   det, t*det, u*det, v*det LINEAR in x (scalar-triple identities), so
@@ -60,6 +64,7 @@ from .uniform import tri_box_overlap, tri_voxel_ranges
 #   [12]=tmin, [13]=min(tmax, BIG), [14]=seed best-t, [15]=0.
 X_COLS = 16
 MT_COLS = 20  # precomputed per-ref intersection row width (see above)
+REF_GROUP = 4  # per-ref rows per stored group row (tracer gather unit)
 BIG = 3e38  # finite stand-in for +inf throughout the packet pipeline
 
 # Ids ride in f32 rows as exact float values; beyond 2^24 they would
@@ -98,7 +103,7 @@ class PacketGrid:
 
     @property
     def ref_capacity(self) -> int:
-        return (self.cols.shape[0] - 32) // 3
+        return (self.cols.shape[0] * REF_GROUP - 32) // 3
 
     @property
     def overflowed(self):
@@ -280,12 +285,14 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             [nrm, -e2, -jnp.cross(v0, e2), e1, jnp.cross(v0, e1),
              jnp.sum(v0 * nrm, axis=1, keepdims=True), tk[:, 9:10],
              jnp.zeros((ref_capacity, 3), jnp.float32)], axis=1)
-        cols_parts.append(jnp.where(live[:, None], row20, 0.0))
+        cols_parts.append(jnp.where(live[:, None], row20, 0.0).reshape(
+            ref_capacity // REF_GROUP, MT_COLS * REF_GROUP))
         totals.append(total)              # AABB pairs (capacity bound)
         reals.append(starts[num_cells])   # SAT-surviving refs
     rs_all = jnp.concatenate(rs_parts)
     cols_all = jnp.concatenate(
-        cols_parts + [jnp.zeros((32, MT_COLS), jnp.float32)])
+        cols_parts + [jnp.zeros((32 // REF_GROUP, MT_COLS * REF_GROUP),
+                                jnp.float32)])
     return (rs_all, cols_all,
             jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)),
             planes)
@@ -321,7 +328,8 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           rs=jnp.zeros((6,), jnp.int32),
-                          cols=jnp.zeros((3 * 256 + 32, MT_COLS),
+                          cols=jnp.zeros(((3 * 256 + 32) // REF_GROUP,
+                                          MT_COLS * REF_GROUP),
                                          jnp.float32),
                           total_refs=jnp.int32(0),
                           total_pairs=jnp.int32(0), tris=tris,

@@ -750,8 +750,9 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
             jnp.zeros((nt, tile), jnp.float32))
     ka = per_tile["k0"]
     step = per_tile["step"]
-    # Gather units: aligned (8, 80) row tiles (see _U above). The 8
-    # zero tail rows of `cols` form exactly the last unit — the dead
+    # Gather units: aligned (8, 80) tiles of the group-row cols table
+    # (a layout-preserving reshape — group rows ARE the stored form).
+    # The zero tail group rows form exactly the last unit — the dead
     # gather target.
     cols_u = cols.reshape(-1, _U, 20 * _G)
     dead_idx = cols_u.shape[0] - 1

@@ -48,7 +48,7 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
         starts, counts, thr = st._plan(
             per_ray, per_tile, cs_tab, n_tab, lo_tab, rs,
             per_tile["k0"], best0, grid.dims3, slab, False)
-        dead_idx = grid.cols.shape[0] // (st._G * st._U) - 1
+        dead_idx = grid.cols.shape[0] // st._U - 1
         gidx, tile_of, tminb, n_blocks, demand = st._items(
             starts, counts, thr, nt, slab, bmax, dead_idx)
         return starts, counts, gidx, tile_of, n_blocks, demand
@@ -64,7 +64,7 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
     starts_h = np.asarray(starts)
     counts_h = np.asarray(counts)
     gidx_h = np.asarray(gidx)
-    units = grid.cols.shape[0] // (st._G * st._U)
+    units = grid.cols.shape[0] // st._U
     assert (counts_h >= 0).all(), "negative range count"
     live = counts_h > 0
     assert (starts_h[live] >= 0).all(), "negative range start"

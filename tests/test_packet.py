@@ -24,8 +24,8 @@ def _cell_sets(g, axis, dims):
                for i in range(axis))
     rs = (np.asarray(g.rs[qoff:qoff + da * db * (dc + 1)])
           .reshape(da * db, dc + 1) - axis * r_cap)
-    ids = np.asarray(g.cols[axis * r_cap:(axis + 1) * r_cap, 16]
-                     ).astype(np.int32)
+    ids_flat = np.asarray(g.cols)[:, 16::20].reshape(-1)  # group rows
+    ids = ids_flat[axis * r_cap:(axis + 1) * r_cap].astype(np.int32)
     out = {}
     for ka in range(da):
         for kb in range(db):
@@ -92,7 +92,8 @@ def test_cols_ids_are_exact_values(cornell):
     live spans, zero in the dead tail (regression for the denormal-flush
     bug: bitcast id bits of small ids are denormals and get flushed)."""
     g = packet.build_packet(cornell, dims=(4, 4, 4))
-    ids_f = np.asarray(g.cols[:, 16])
+    # cols stores 4-ref group rows; per-ref ids at 16, 36, 56, 76.
+    ids_f = np.asarray(g.cols)[:, 16::20].reshape(-1)
     assert (ids_f == np.round(ids_f)).all()
     total = int(g.total_refs)
     ids0 = ids_f[:total].astype(np.int32)
