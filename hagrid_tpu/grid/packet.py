@@ -27,8 +27,8 @@ consumes:
 - `cols` f32[(3*R_cap + 32) / 4, 80]: GROUP rows of 4 consecutive
   per-ref PRECOMPUTED intersection rows (20 floats each; 4-ref groups
   are the tracer's gather granularity, and an 80-lane group row packs
-  a (8,128) HBM tile 62.5%% full where single 20-lane rows would pack
-  it 15.6%% — the per-ref layout wrote 4x the HBM). Per-ref row:
+  a (8,128) HBM tile 62.5% full where single 20-lane rows would pack
+  it 15.6% — the per-ref layout wrote 4x the HBM). Per-ref row:
   [n(3) -e2(3) -(v0 x e2)(3) e1(3) (v0 x e1)(3) v0.n tri_id zeros(3)]
   in sorted order per layout. With x = (o, d, m = o x d) these make
   det, t*det, u*det, v*det LINEAR in x (scalar-triple identities), so
