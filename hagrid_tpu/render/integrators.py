@@ -2,8 +2,11 @@
 
 The reference's app layer shades trivially (eye-light) and its benchmark
 generates AO/shadow secondary rays (SURVEY.md §3.5, BASELINE configs #2-4).
-Here every secondary wave is coherence-sorted before tracing (ops/sortrays)
-— the TPU substitute for SIMT divergence absorption.
+Secondary waves go to the sweep tracer unsorted: its binning preserves
+caller order, which for camera-derived waves carries image-block origin
+locality (re-sorting by scene-space Morton measured +33% block demand),
+and masked-dead rays compact into skipped tiles. ops/sortrays remains
+for genuinely orderless waves (trace_sorted(sort=True)).
 """
 
 from __future__ import annotations
@@ -32,11 +35,12 @@ def trace_sorted(session, rays: Rays, any_hit: bool = False,
                  sort: bool = False):
     """Incoherent-wave entry point, optionally coherence-sorting first.
 
-    Measured on TPU v5e (Sponza AO wave, 262k rays): sorting costs more
-    than it saves on the XLA-gather traversal path — gather latency does
-    not reward index locality — so the default is unsorted there. The
-    sweep tracer bins by (axis, sign) itself; Morton-sorting a wave
-    before binning tightens its tile frusta (SURVEY §3.5)."""
+    Measured twice, both against sorting: on the wavefront path gather
+    latency does not reward index locality (TPU v5e, Sponza AO wave,
+    262k rays), and on the sweep path a scene-space (octant, Morton)
+    reorder LOSES to the stable caller order the binning preserves
+    (+33% block demand — image-block origin locality is finer). Default
+    stays unsorted; sort=True serves waves with no inherited order."""
     if not sort:
         return session.trace(rays, any_hit=any_hit)
     grid = session.grid
