@@ -112,8 +112,10 @@ def path_trace(session, cam, width: int, height: int, seed: int = 0,
     """Diffuse (Lambertian) path tracer with bounce compaction — BASELINE
     config #3 (San Miguel workload). Constant sky light, grey albedo.
 
-    Every bounce wave is coherence-sorted + dead-ray-compacted by tmax=0
-    masking; live rays carry a throughput that attenuates by albedo."""
+    Bounce waves keep their inherited pixel order (measured best; see
+    module docstring) and dead rays compact via tmax=0 masking into
+    planner-skipped tiles; live rays carry a throughput that attenuates
+    by albedo."""
     from ..core.camera import primary_rays
 
     n = width * height

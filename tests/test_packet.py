@@ -103,3 +103,24 @@ def test_cols_ids_are_exact_values(cornell):
     for axis in range(3):
         span = ids_f[axis * r_cap:axis * r_cap + total].astype(np.int32)
         assert set(span.tolist()) == set(range(cornell.count))
+
+
+def test_adaptive_slice_planes_match_oracle():
+    """build_packet(adaptive=True) places non-uniform slice planes;
+    tracing through them must stay oracle-exact."""
+    from hagrid_tpu import oracle, scenes
+    from hagrid_tpu.core.camera import primary_rays
+    from hagrid_tpu.ops.sweep_trace import trace_sweep
+
+    v, f = scenes.sponza_like(3000)
+    tris = Triangles.from_mesh(v, f)
+    g = packet.build_packet(tris, adaptive=True)
+    pl = np.asarray(g.planes)
+    for a in range(3):
+        da = g.dims3[a][0]
+        assert (np.diff(pl[a, :da + 1]) > 0).all(), "planes not monotone"
+    rays = primary_rays(scenes.sponza_camera(), 48, 48)
+    hits = trace_sweep(g, rays, tile=128)
+    ref = oracle.closest_hit(rays, tris)
+    assert (np.asarray(hits.tri_id) == np.asarray(ref.tri_id)).mean() \
+        == 1.0
