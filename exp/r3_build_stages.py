@@ -69,10 +69,16 @@ def stage(tris, tri_t, bbox_lo, bbox_hi, axis, upto):
     tri_idx, rank, valid, total = expand_by_counts(counts, cap)
     if upto == 2:
         return tri_idx.sum() + rank.sum() + total
-    lospan = jnp.concatenate([lo, span, jnp.zeros_like(lo[:, :2])],
-                             axis=1)[tri_idx]
-    s = lospan[:, 3:6]
-    l = lospan[:, 0:3]
+    # Production form (gather-free): int forward-fill of (lo, span).
+    lospan_t = jnp.concatenate([lo, span], axis=1)
+    d_ls = jnp.diff(lospan_t, axis=0, prepend=jnp.zeros(
+        (1, 6), lospan_t.dtype))
+    run_starts = jnp.cumsum(counts) - counts
+    ls_ff = jnp.cumsum(
+        jnp.zeros((cap, 6), jnp.int32).at[run_starts].add(
+            d_ls, mode="drop"), axis=0)
+    s = ls_ff[:, 3:6]
+    l = ls_ff[:, 0:3]
     dx = rank % s[:, 0]
     rem = rank // s[:, 0]
     dy = rem % s[:, 1]
@@ -109,7 +115,7 @@ def stage(tris, tri_t, bbox_lo, bbox_hi, axis, upto):
     return None
 
 
-names = ["voxel_ranges", "expand", "lospan_gather+coords",
+names = ["voxel_ranges", "expand", "lospan_ff+coords",
          "tri_t_gather", "SAT", "sort", "segment_starts",
          "colsT_gather"]
 prev = 0.0
