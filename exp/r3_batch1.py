@@ -129,3 +129,87 @@ cap2 = grid2.ref_capacity
 t = timed(lambda: _build(tris2, grid2.bbox_lo, grid2.bbox_hi,
                          grid2.dims3, cap2), warmup=1, iters=3)
 log(f"[sanmiguel] rebuild: {t * 1e3:7.2f} ms")
+
+# ---- 5. Frame stage split (cumulative, pipelined) -------------------------
+import functools
+
+TILE = 512
+n_pad = -(-n // TILE) * TILE
+xp_ext, xt_ext = st._pad_coherent(rays.org, rays.dir, rays.tmin,
+                                  rays.tmax, n_pad, TILE)
+xp_ext = jax.block_until_ready(xp_ext)
+slab = max(dd[0] for dd in grid.dims3)
+BCAP = max(128, -(-int(d * 13) // 1280) * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("upto",))
+def stage(xp_ext, xt_ext, upto):
+    nt = xp_ext.shape[0] // TILE - 1
+    cs_tab, n_tab, lo_tab = st._tile_tabs(grid.bbox_lo, grid.bbox_hi,
+                                          grid.dims3)
+    per_ray, per_tile = st._precompute(
+        xp_ext[:nt * TILE], cs_tab, n_tab, lo_tab, grid.bbox_lo,
+        grid.bbox_hi, TILE, grid.planes)
+    traceable = xp_ext[:nt * TILE, 13].reshape(nt, TILE) > 0
+    best = (jnp.where(traceable, st._BIG, -st._BIG),
+            jnp.full((nt, TILE), -1, jnp.int32),
+            jnp.zeros((nt, TILE), jnp.float32),
+            jnp.zeros((nt, TILE), jnp.float32))
+    if upto == 0:
+        return per_ray["enter"].sum() + per_tile["k0"].sum()
+    starts, counts, thr = st._plan(
+        per_ray, per_tile, cs_tab, n_tab, lo_tab, grid.rs,
+        per_tile["k0"], best[0], grid.dims3, slab, False)
+    if upto == 1:
+        return starts.sum() + counts.sum()
+    cols_u = grid.cols.reshape(-1, st._U, 20 * st._G)
+    dead_idx = cols_u.shape[0] - 1
+    gidx, tile_of, tminb, n_blocks, demand = st._items(
+        starts, counts, thr, nt, slab, BCAP, dead_idx)
+    if upto == 2:
+        return gidx.sum() + tminb.sum() + n_blocks
+    pieces = []
+    for goff in range(0, BCAP, st._GCHUNK):
+        gw = min(st._GCHUNK, BCAP - goff)
+
+        def do_gather(gi, gw=gw):
+            return cols_u[gi].reshape(gw * 128, 20 * st._G)
+
+        def skip(gi, gw=gw):
+            return jnp.zeros((gw * 128, 20 * st._G), jnp.float32)
+
+        pieces.append(jax.lax.cond(
+            n_blocks > goff, do_gather, skip,
+            gidx[goff * st._UPB:(goff + gw) * st._UPB]))
+    g_round = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+        pieces, axis=0)
+    if upto == 3:
+        return g_round.sum()
+    seed = jnp.minimum(best[0], xp_ext[:nt * TILE, 13].reshape(nt, TILE))
+    xt_round = jax.lax.dynamic_update_slice(
+        xt_ext,
+        jnp.concatenate([seed.reshape(1, -1),
+                         jnp.full((1, TILE), -st._BIG)], axis=1),
+        (14, 0))
+    for off in range(0, BCAP, st._CHUNK):
+        w = min(st._CHUNK, BCAP - off)
+        t_c = tile_of[off:off + w]
+        tb_c = tminb[off:off + w]
+        g_c = jax.lax.slice_in_dim(g_round, off * 128, (off + w) * 128)
+
+        def do_chunk(best, t_c=t_c, tb_c=tb_c, g_c=g_c):
+            out_ext = st._sweep(xt_round, g_c, t_c, tb_c, 0, TILE,
+                                False, False)
+            return st._merge(best, out_ext, t_c)
+
+        best = jax.lax.cond(n_blocks > off, do_chunk, lambda b: b, best)
+    return best[0].sum() + best[1].sum()
+
+
+snames = ["precompute", "+plan", "+items", "+gather", "+sweep"]
+prev = 0.0
+for upto in range(5):
+    t = timed_pipe(functools.partial(stage, upto=upto), )
+    log(f"[stage] {snames[upto]:12s}: {t * 1e3:7.2f} ms "
+        f"(+{1e3 * (t - prev):6.2f})")
+    prev = t
