@@ -10,12 +10,18 @@ exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 200 Mrays/s (the BASELINE.json north-star).
 
-Throughput methodology: the headline Mrays/s times PIPE frames issued
-back-to-back with one device sync (standard throughput measurement; CUDA
-benches equally launch N kernels per sync). The per-frame latency
-including one sync is also recorded (extra["latency_ms"]) — this
-environment's tunneled TPU adds a fixed ~24 ms RTT to every sync, which
-the pipelined measure amortizes and the latency measure exposes.
+Throughput methodology (round 4): the headline `value` is the
+SINGLE-FRAME Mrays/s (one trace + one device sync), directly comparable
+across rounds 1-2. The pipelined measure (PIPE frames back-to-back, one
+sync — amortizes this environment's fixed ~24 ms tunnel RTT per sync)
+is recorded as a first-class extra["primary_mrays_pipelined"], along
+with extra["latency_ms"].
+
+Outage handling: the TPU backend reaches this process through a tunnel
+that can be down when the driver runs; jax.devices() is retried with
+backoff, and ANY failure still prints one valid JSON line
+({"metric": ..., "value": null, "error": ...}) so the round artifact is
+always parseable.
 """
 
 from __future__ import annotations
@@ -68,14 +74,17 @@ def bench_primary(session, rays, w, h, iters, extra):
     lat_s = timed(session.trace, rays, coherent=True, warmup=2,
                   iters=iters)
     thr_s = timed_pipelined(session.trace, rays, coherent=True)
-    mrays = (w * h) / thr_s / 1e6
-    log(f"primary rays {w}x{h}: {thr_s * 1e3:.2f} ms/frame pipelined "
-        f"= {mrays:.1f} Mrays/s ({lat_s * 1e3:.2f} ms single-frame)")
+    mrays = (w * h) / lat_s / 1e6          # headline: single-frame
+    mrays_pipe = (w * h) / thr_s / 1e6
+    log(f"primary rays {w}x{h}: {lat_s * 1e3:.2f} ms single-frame "
+        f"= {mrays:.1f} Mrays/s ({thr_s * 1e3:.2f} ms/frame pipelined "
+        f"= {mrays_pipe:.1f} Mrays/s)")
     hits = session.trace(rays, coherent=True)
     frac = float(np.mean(np.asarray(hits.tri_id) >= 0))
     log(f"hit fraction: {frac:.3f}")
     extra.update(rays=w * h, hit_fraction=round(frac, 4),
-                 latency_ms=round(lat_s * 1e3, 2))
+                 latency_ms=round(lat_s * 1e3, 2),
+                 primary_mrays_pipelined=round(mrays_pipe, 3))
     if session.structure == "irregular":
         from hagrid_tpu.ops.wavefront import last_trace_stats
         ms = last_trace_stats["mean_steps"]
@@ -154,7 +163,44 @@ def bench_dynamic(session, v, f, rays, iters):
     return fps
 
 
+def tpu_devices(retries=None, backoff_s=None):
+    """jax.devices() with bounded retry: the TPU reaches this process
+    through a tunnel that can be transiently down (round 3 lost its
+    artifact to exactly this). Raises only after all retries fail."""
+    import os
+    retries = retries or int(os.environ.get("BENCH_INIT_RETRIES", 4))
+    backoff_s = backoff_s or float(
+        os.environ.get("BENCH_INIT_BACKOFF_S", 15.0))
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:  # backend init failures
+            last = e
+            log(f"backend init failed (attempt {attempt + 1}/"
+                f"{retries}): {e}")
+            if attempt + 1 < retries:
+                time.sleep(backoff_s * (attempt + 1))
+    raise last
+
+
 def main():
+    try:
+        run()
+    except Exception as e:  # noqa: BLE001 — artifact must stay parseable
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "primary_mrays_sponza",
+            "value": None,
+            "unit": "Mrays/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(0)  # the JSON line IS the report; rc=0 keeps it parsed
+
+
+def run():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small scene + image for a fast smoke run")
@@ -175,7 +221,7 @@ def main():
     from hagrid_tpu.core.types import Triangles
     from hagrid_tpu.render.session import RenderSession
 
-    dev = jax.devices()[0]
+    dev = tpu_devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     if args.quick:

@@ -163,11 +163,19 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
         # 3: sampled completeness vs recomputed voxel ranges. The build
         # SAT-prunes (tri, cell) pairs, so membership is required only
         # where the exact overlap test passes for some cell of the row.
+        # SLICE-AXIS boundaries come from the plane table (non-uniform
+        # when built adaptive=True; identical to uniform otherwise) —
+        # both the per-tri slice range and the cell box below.
         a1, a2 = (a + 1) % 3, (a + 2) % 3
         dims_xyz = [0, 0, 0]
         dims_xyz[a], dims_xyz[a1], dims_xyz[a2] = da, db, dc
-        lo, hi = (np.asarray(x) for x in tri_voxel_ranges(
+        lo, hi = (np.array(x) for x in tri_voxel_ranges(
             grid.tris, grid.bbox_lo, grid.bbox_hi, tuple(dims_xyz)))
+        P = np.asarray(grid.planes)[a, :da + 1]
+        tlo3, thi3 = (np.asarray(x) for x in grid.tris.bounds())
+        if da > 1:
+            lo[:, a] = np.sum(tlo3[:, a:a + 1] >= P[None, 1:da], axis=1)
+            hi[:, a] = np.sum(thi3[:, a:a + 1] >= P[None, 1:da], axis=1)
         blo = np.asarray(grid.bbox_lo)
         bhi = np.asarray(grid.bbox_hi)
         cs = ((bhi - blo) / np.asarray(dims_xyz, np.float32)
@@ -185,11 +193,14 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
                     vox = np.zeros((len(ccols), 3), np.float32)
                     vox[:, a], vox[:, a1], vox[:, a2] = k, j, ccols
                     clo = blo + vox * cs
+                    chi = clo + cs
+                    clo[:, a] = P[k]
+                    chi[:, a] = P[min(k + 1, da)]
                     m = np.asarray(tri_box_overlap(
                         np.broadcast_to(v0h[t], clo.shape),
                         np.broadcast_to(v1h[t], clo.shape),
                         np.broadcast_to(v2h[t], clo.shape),
-                        clo, clo + cs))
+                        clo, chi))
                     if not m.any():
                         continue
                     r = k * db + j

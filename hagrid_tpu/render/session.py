@@ -115,19 +115,25 @@ class RenderSession:
         key = (any_hit, coherent, rays.count)
         bmax = self._bmax_cal.get(key)
         if bmax is None:
-            hits, ovf, demand = trace_sweep(
+            _, _, demand = trace_sweep(
                 self.grid, rays, any_hit=any_hit, coherent=coherent,
                 return_overflow=True, return_demand=True)
             # Incoherent waves (AO/path bounces) vary frame to frame;
             # give them more slack than fixed-camera primaries.
             margin = 1.3 if (coherent and not any_hit) else 1.5
             d = int(jax.device_get(demand))
-            self._bmax_cal[key] = min(
+            bmax = min(
                 24576, max(256, -(-int(d * margin) // 128) * 128))
-        else:
-            hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
-                                    coherent=coherent, bmax=bmax,
-                                    return_overflow=True)
+            self._bmax_cal[key] = bmax
+            # Fall through to a calibrated-budget trace: the budget is
+            # a static shape, so the calibrated variant compiles HERE
+            # (one-time, off any timed frame) — returning the generous
+            # -budget hits instead would defer that compile into the
+            # caller's first steady-state frame (measured as a 21 s
+            # stall in the middle of the dynamic benchmark).
+        hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
+                                coherent=coherent, bmax=bmax,
+                                return_overflow=True)
         self.trace_overflow = ovf if self.trace_overflow is None \
             else self.trace_overflow | ovf
         return hits

@@ -67,6 +67,7 @@ def _agree(hits, ref_id, ref_t, min_rate=0.999):
     return got_hit
 
 
+@pytest.mark.slow
 def test_primary_production_config_matches_oracle(scene):
     tris, grid, rays = scene
     # Production call: default tile=512, slab=None (whole-grid single
@@ -79,6 +80,7 @@ def test_primary_production_config_matches_oracle(scene):
     assert got_hit.mean() > 0.9  # enclosed atrium: nearly all rays hit
 
 
+@pytest.mark.slow
 def test_ao_wave_production_config_matches_oracle(scene):
     tris, grid, rays = scene
     hits = trace_sweep(grid, rays, coherent=True, bmax=4096)
