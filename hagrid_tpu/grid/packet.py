@@ -24,11 +24,14 @@ consumes:
   row (k, j) at column >= c (layout offset a*R_cap folded into the
   value). A frustum rect's refs in row (k, j) are the contiguous span
   [rs[k,j,c0], rs[k,j,c1+1]).
-- `cols` f32[(3*R_cap + 32) / 4, 80]: GROUP rows of 4 consecutive
-  per-ref PRECOMPUTED intersection rows (20 floats each; 4-ref groups
-  are the tracer's gather granularity, and an 80-lane group row packs
-  a (8,128) HBM tile 62.5% full where single 20-lane rows would pack
-  it 15.6% — the per-ref layout wrote 4x the HBM). Per-ref row:
+- `cols` f32[3*R_cap/6 + 8, 128]: GROUP rows of 6 consecutive per-ref
+  PRECOMPUTED intersection rows (20 floats each = 120 lanes + 8 zero
+  pad). 6-ref groups are the tracer's gather granularity: a 128-lane
+  group row packs an HBM/VMEM lane tile 93.75% full (vs 62.5% for the
+  earlier 4-ref/80-lane rows and 15.6% for single 20-lane rows), and —
+  decisive for the round-4 kernel — an 8-row gather UNIT is an exactly
+  (8, 128)-tile-aligned slice, which Mosaic can DMA straight from HBM
+  into VMEM (unaligned 80-lane slices are rejected). Per-ref row:
   [n(3) -e2(3) -(v0 x e2)(3) e1(3) (v0 x e1)(3) v0.n tri_id zeros(3)]
   in sorted order per layout. With x = (o, d, m = o x d) these make
   det, t*det, u*det, v*det LINEAR in x (scalar-triple identities), so
@@ -40,9 +43,9 @@ consumes:
   The tri id in column 16 is stored as a float *value* (exact for up to
   2^24 triangles) — NOT a bitcast bit pattern: ids below 2^23 are
   denormal bit patterns that TPU/XLA float ops flush to zero (found by
-  the CLI verify drive: every hit came back as tri 0). The trailing 32
-  zero rows are the DEAD gather target (det = 0 -> t = NaN, never
-  hits) for padding slots.
+  the CLI verify drive: every hit came back as tri 0). The trailing 8
+  zero group rows (48 refs, one full gather unit) are the DEAD gather
+  target (det = 0 -> t = NaN, never hits) for padding slots.
 """
 
 from __future__ import annotations
@@ -64,7 +67,9 @@ from .uniform import tri_box_overlap, tri_voxel_ranges
 #   [12]=tmin, [13]=min(tmax, BIG), [14]=seed best-t, [15]=0.
 X_COLS = 16
 MT_COLS = 20  # precomputed per-ref intersection row width (see above)
-REF_GROUP = 4  # per-ref rows per stored group row (tracer gather unit)
+REF_GROUP = 6  # per-ref rows per stored 128-lane group row
+GROUP_LANES = 128  # group-row width: 6*20 = 120 real + 8 zero pad
+DEAD_ROWS = 8  # trailing zero group rows (one gather unit, 48 refs)
 BIG = 3e38  # finite stand-in for +inf throughout the packet pipeline
 
 # Ids ride in f32 rows as exact float values; beyond 2^24 they would
@@ -103,7 +108,7 @@ class PacketGrid:
 
     @property
     def ref_capacity(self) -> int:
-        return (self.cols.shape[0] * REF_GROUP - 32) // 3
+        return (self.cols.shape[0] - DEAD_ROWS) // 3 * REF_GROUP
 
     @property
     def overflowed(self):
@@ -285,14 +290,15 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             [nrm, -e2, -jnp.cross(v0, e2), e1, jnp.cross(v0, e1),
              jnp.sum(v0 * nrm, axis=1, keepdims=True), tk[:, 9:10],
              jnp.zeros((ref_capacity, 3), jnp.float32)], axis=1)
-        cols_parts.append(jnp.where(live[:, None], row20, 0.0).reshape(
-            ref_capacity // REF_GROUP, MT_COLS * REF_GROUP))
+        grp = jnp.where(live[:, None], row20, 0.0).reshape(
+            ref_capacity // REF_GROUP, MT_COLS * REF_GROUP)
+        cols_parts.append(jnp.pad(
+            grp, ((0, 0), (0, GROUP_LANES - MT_COLS * REF_GROUP))))
         totals.append(total)              # AABB pairs (capacity bound)
         reals.append(starts[num_cells])   # SAT-surviving refs
     rs_all = jnp.concatenate(rs_parts)
     cols_all = jnp.concatenate(
-        cols_parts + [jnp.zeros((32 // REF_GROUP, MT_COLS * REF_GROUP),
-                                jnp.float32)])
+        cols_parts + [jnp.zeros((DEAD_ROWS, GROUP_LANES), jnp.float32)])
     return (rs_all, cols_all,
             jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)),
             planes)
@@ -328,9 +334,9 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           rs=jnp.zeros((6,), jnp.int32),
-                          cols=jnp.zeros(((3 * 256 + 32) // REF_GROUP,
-                                          MT_COLS * REF_GROUP),
-                                         jnp.float32),
+                          cols=jnp.zeros(
+                              (3 * 768 // REF_GROUP + DEAD_ROWS,
+                               GROUP_LANES), jnp.float32),
                           total_refs=jnp.int32(0),
                           total_pairs=jnp.int32(0), tris=tris,
                           planes=jnp.broadcast_to(
@@ -358,8 +364,10 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
             (dims[a], dims[(a + 1) % 3], dims[(a + 2) % 3])
             for a in range(3))
     if ref_capacity is None:
-        ref_capacity = max(1024, int(tris.count * 2))
-    ref_capacity = -(-ref_capacity // 256) * 256
+        ref_capacity = max(1536, int(tris.count * 2))
+    # Round to 768 = lcm(block refs 6*128, unit refs 48): per-layout
+    # offsets in rs then align to whole gather units and sweep blocks.
+    ref_capacity = -(-ref_capacity // 768) * 768
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
@@ -371,7 +379,7 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         t = int(jax.device_get(pairs))
         if t <= ref_capacity:
             break
-        ref_capacity = -(-int(t * 1.25) // 256) * 256
+        ref_capacity = -(-int(t * 1.25) // 768) * 768
     return PacketGrid(dims3=dims3, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
                       rs=rs, cols=cols,
                       total_refs=total, total_pairs=pairs, tris=tris,

@@ -15,23 +15,24 @@ out of the kernel:
    REF-level ranges via the build-time `rs` tables — two gathers per
    rect row, no device-wide scatters.
 
-2. **Compaction gather.** The ranges' refs are gathered into a dense
-   per-round panel stream `G` in 32-ref UNITS — aligned (8, 80) row
-   tiles of the `cols` table. XLA row-gathers on TPU read whole
-   (8, 128)-lane tiles, so single 80-lane rows pay ~12.8x HBM read
-   amplification while aligned 8-row units pay only the 1.6x lane pad;
-   the unit round-out at range ends adds real triangles of the same
-   layout or zero pad rows (conservative-correct, measured ~1.3x refs
-   on Sponza primaries for ~5x cheaper gather + 8x cheaper item
-   packing). Units pack into 512-ref blocks per tile, (nearly) fully
-   occupied with exactly the refs some ray of the tile might hit.
+2. **In-kernel DMA gather (round 4).** Ref ranges round outward to
+   48-ref UNITS — exactly (8, 128)-tile-aligned slices of the `cols`
+   group-row table (6 refs x 20 coefficients + 8 pad lanes per row).
+   The sweep kernel DMAs each block's 16 units straight from HBM into
+   VMEM, double-buffered one block ahead, so the gathered stream is
+   never materialized in HBM (the round-2/3 XLA gather wrote it out
+   and read it back — a full extra round-trip), and blocks whose rays
+   have already terminated skip the fetch entirely. Units pack into
+   768-ref blocks per tile, (nearly) fully occupied with exactly the
+   refs some ray of the tile might hit. (The XLA unit gather survives
+   as the interpret-mode fallback for CPU tests.)
 
 3. **Pallas sweep kernel (zero scalar control, static grid).** grid =
    (n_blocks,); one prefetched tile-id array drives the BlockSpecs: the
    rays' X matrix lives TRANSPOSED (rays on lanes) and G blocks are
-   (128, 16) (tris on sublanes), so neither side needs an in-kernel
+   (128, 128) (tris on sublanes), so neither side needs an in-kernel
    relayout. The body is one dense exact-f32 Moller-Trumbore of
-   TILE rays x 128 gathered tris on the VPU plus lane-accumulator
+   TILE rays x 768 gathered tris on the VPU plus lane-accumulator
    updates; per-tile results flush when the block stream moves on.
 
 4. **Device-side round loop.** The whole frame — every round's plan,
@@ -49,6 +50,7 @@ DEFAULT flips ~1% of hits; 3-pass HIGH costs more than the VPU form).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,18 +70,29 @@ _RMAX = 4       # c-trimmed row ranges per (tile, slice); taller rects
 #                 Measured rects span ~2.7 rows on Sponza primaries, so 4
 #                 slots cover almost all rects at half the rs-gather cost
 #                 of 8 (plan was ~6 ms/round, half of it these gathers).
-_CHUNK = 4096    # 512-ref blocks per pallas_call (16K SMEM prefetch)
-_GCHUNK = 1024   # blocks per gated gather piece (131072 group rows)
-_G = 4           # refs per group row (one 80-lane row of `cols`)
-_U = 8           # group rows per GATHER UNIT: XLA row-gathers on TPU
-#                 read whole (8, 128)-lane tiles, so gathering single
-#                 80-lane rows pays ~12.8x HBM read amplification;
-#                 gathering aligned (8, 80) units pays 1.6x (the lane
-#                 pad only). Ranges round outward to 32-ref units —
-#                 the round-out rows are real refs of the same layout
-#                 (conservative) or zero pad rows (never hit).
-_UPB = 128 // _U  # gather units per 512-ref block
+_GCHUNK = 1024   # blocks per gated gather piece (XLA-gather fallback)
+_G = 6           # refs per group row (one 128-lane row of `cols`:
+#                 6 x 20 coefficient floats + 8 zero pad lanes — the
+#                 lane tile is 93.75% real data, and every 8-row
+#                 gather UNIT is an exactly (8, 128)-aligned slice)
+_GW = 128        # group-row lane width
+_U = int(os.environ.get("HAGRID_SWEEP_U", "4"))
+#                 Group rows per GATHER UNIT (1, 2, 4 or 8; rows of
+#                 `cols` are (1, 128)-tiled so any row count DMAs
+#                 cleanly). The round-4 kernel DMAs units straight
+#                 from `cols` in HBM (one contiguous 512B*_U slice);
+#                 the XLA-gather fallback gathers the same units as
+#                 rows of cols_u. Ranges round outward to 6*_U-ref
+#                 units — the round-out rows are real refs of the same
+#                 layout (conservative) or zero pad rows (never hit).
+#                 Smaller units waste fewer round-out refs (the ranges
+#                 are short: mean ~2.8 48-ref units on Sponza
+#                 primaries) but cost more DMA issues per block.
+_UPB = 128 // _U  # gather units per 768-ref block
 _BREF = 128 * _G  # refs per block
+# Blocks per pallas_call, sized so the prefetched unit-index array
+# stays within SMEM (~256KB of gidx per call regardless of _U).
+_CHUNK = 4096 * _U // 8
 
 
 # ----------------------------------------------------------------------
@@ -87,6 +100,109 @@ _BREF = 128 * _G  # refs per block
 # Layout: rays on LANES (xT (16, tile) blocks), tris on SUBLANES
 # (G (128, 16) blocks) — both sides broadcast without relayouts.
 # ----------------------------------------------------------------------
+
+def _acc_init(xt_ref, acc_t, acc_id, acc_u, acc_v, acc_bt, tile):
+    # Seed the t accumulator with the tile's prior-round best
+    # (xt row 14; -BIG for dead lanes) so the early-out below
+    # also fires for work preceding already-found hits. Seeds
+    # carry id -1, so they can never flush as hits themselves.
+    best = xt_ref[14:15, :]
+    acc_t[:] = jnp.broadcast_to(best, (128, tile))
+    acc_id[:] = jnp.full((128, tile), -1.0, jnp.float32)
+    acc_u[:] = jnp.zeros((128, tile), jnp.float32)
+    acc_v[:] = jnp.zeros((128, tile), jnp.float32)
+    acc_bt[0:1, :] = best
+
+
+def _mt_update(g_ref, xt_ref, acc_t, acc_id, acc_u, acc_v, acc_bt,
+               tile, any_hit):
+    ox = xt_ref[1:2, :]
+    oy = xt_ref[2:3, :]
+    oz = xt_ref[3:4, :]
+    dx = xt_ref[4:5, :]
+    dy = xt_ref[5:6, :]
+    dz = xt_ref[6:7, :]
+    mx = xt_ref[7:8, :]
+    my = xt_ref[8:9, :]
+    mz = xt_ref[9:10, :]
+    tmin = xt_ref[12:13, :]
+    if any_hit:
+        tmax = xt_ref[13:14, :]
+    # The block holds _G interleaved 128-tri sets (one per ref
+    # position within the gathered 6-ref group rows); each set
+    # intersects the whole tile via the PRECOMPUTED linear form
+    # (grid/packet.py module docstring): det, t*det, u*det,
+    # v*det are dots of per-tri coefficient rows with
+    # (o, d, m) — ~38 VPU ops/pair vs ~65 for classic MT.
+    for s in range(_G):
+        o = s * 20
+        n0 = g_ref[:, o + 0:o + 1]
+        n1 = g_ref[:, o + 1:o + 2]
+        n2 = g_ref[:, o + 2:o + 3]
+        b0 = g_ref[:, o + 3:o + 4]
+        b1 = g_ref[:, o + 4:o + 5]
+        b2 = g_ref[:, o + 5:o + 6]
+        c0 = g_ref[:, o + 6:o + 7]
+        c1 = g_ref[:, o + 7:o + 8]
+        c2 = g_ref[:, o + 8:o + 9]
+        d0 = g_ref[:, o + 9:o + 10]
+        d1 = g_ref[:, o + 10:o + 11]
+        d2 = g_ref[:, o + 11:o + 12]
+        e0 = g_ref[:, o + 12:o + 13]
+        e1 = g_ref[:, o + 13:o + 14]
+        e2 = g_ref[:, o + 14:o + 15]
+        f = g_ref[:, o + 15:o + 16]
+        ids = g_ref[:, o + 16:o + 17]
+        det = dx * n0 + dy * n1 + dz * n2      # = -det_MT
+        tt = f - (ox * n0 + oy * n1 + oz * n2)
+        uu = (mx * b0 + my * b1 + mz * b2
+              + dx * c0 + dy * c1 + dz * c2)
+        vv = (mx * d0 + my * d1 + mz * d2
+              + dx * e0 + dy * e1 + dz * e2)
+        inv = 1.0 / det  # det = 0 -> inf/NaN, self-filtered
+        t = tt * inv
+        u = uu * inv
+        v = vv * inv
+        # min-form barycentric test; NaN/inf compare false. The
+        # eps guard keeps near-parallel slivers from phantom
+        # far hits.
+        edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+        # Closest-hit seeds acc_t with min(best, tmax) (see
+        # _frame), so t < acc_t subsumes t < tmax; any-hit
+        # keeps the explicit test (its seed must stay the raw
+        # best for the found-a-hit done threshold).
+        ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
+              & (t > tmin))
+        if any_hit:
+            ok = ok & (t < tmax)
+        better = ok & (t < acc_t[:])
+        acc_t[:] = jnp.where(better, t, acc_t[:])
+        acc_id[:] = jnp.where(
+            better, jnp.broadcast_to(ids, (128, tile)),
+            acc_id[:])
+        acc_u[:] = jnp.where(better, u, acc_u[:])
+        acc_v[:] = jnp.where(better, v, acc_v[:])
+    acc_bt[0:1, :] = jnp.min(acc_t[:], axis=0, keepdims=True)
+
+
+def _flush(out_ref, acc_t, acc_id, acc_u, acc_v):
+    bt = jnp.min(acc_t[:], axis=0)
+    at_min = acc_t[:] == bt[None, :]
+    # Ids are float VALUES (exact below 2^24; bit patterns get
+    # denormal-flushed by float ops — see grid/packet.py).
+    idi = acc_id[:].astype(jnp.int32)
+    id_min = jnp.min(jnp.where(at_min & (idi >= 0), idi,
+                               _BIGID), axis=0)
+    sel = at_min & (idi == id_min[None, :])
+    u_best = jnp.max(jnp.where(sel, acc_u[:], -_BIG), axis=0)
+    v_best = jnp.max(jnp.where(sel, acc_v[:], -_BIG), axis=0)
+    found = (bt < _BIG) & (id_min < _BIGID)
+    out_ref[0, :] = jnp.where(found, bt, _BIG)
+    out_ref[1, :] = jnp.where(found, id_min,
+                              -1).astype(jnp.float32)
+    out_ref[2, :] = jnp.where(found, u_best, 0.0)
+    out_ref[3, :] = jnp.where(found, v_best, 0.0)
+
 
 def _make_kernel(tile: int, nt: int, any_hit: bool):
     def kernel(tile_of, tminb, xt_ref, g_ref, out_ref,
@@ -101,16 +217,7 @@ def _make_kernel(tile: int, nt: int, any_hit: bool):
 
         @pl.when(first & live)
         def _():
-            # Seed the t accumulator with the tile's prior-round best
-            # (xt row 14; -BIG for dead lanes) so the early-out below
-            # also fires for work preceding already-found hits. Seeds
-            # carry id -1, so they can never flush as hits themselves.
-            best = xt_ref[14:15, :]
-            acc_t[:] = jnp.broadcast_to(best, (128, tile))
-            acc_id[:] = jnp.full((128, tile), -1.0, jnp.float32)
-            acc_u[:] = jnp.zeros((128, tile), jnp.float32)
-            acc_v[:] = jnp.zeros((128, tile), jnp.float32)
-            acc_bt[0:1, :] = best
+            _acc_init(xt_ref, acc_t, acc_id, acc_u, acc_v, acc_bt, tile)
 
         # In-kernel early termination (the reference hot loop's
         # `hit.t <= t_exit` break, at block granularity): every ref in
@@ -125,94 +232,150 @@ def _make_kernel(tile: int, nt: int, any_hit: bool):
 
         @pl.when(live & ~done)
         def _():
-            ox = xt_ref[1:2, :]
-            oy = xt_ref[2:3, :]
-            oz = xt_ref[3:4, :]
-            dx = xt_ref[4:5, :]
-            dy = xt_ref[5:6, :]
-            dz = xt_ref[6:7, :]
-            mx = xt_ref[7:8, :]
-            my = xt_ref[8:9, :]
-            mz = xt_ref[9:10, :]
-            tmin = xt_ref[12:13, :]
-            if any_hit:
-                tmax = xt_ref[13:14, :]
-            # The block holds _G interleaved 128-tri sets (one per ref
-            # position within the gathered 4-ref group rows); each set
-            # intersects the whole tile via the PRECOMPUTED linear form
-            # (grid/packet.py module docstring): det, t*det, u*det,
-            # v*det are dots of per-tri coefficient rows with
-            # (o, d, m) — ~38 VPU ops/pair vs ~65 for classic MT.
-            for s in range(_G):
-                o = s * 20
-                n0 = g_ref[:, o + 0:o + 1]
-                n1 = g_ref[:, o + 1:o + 2]
-                n2 = g_ref[:, o + 2:o + 3]
-                b0 = g_ref[:, o + 3:o + 4]
-                b1 = g_ref[:, o + 4:o + 5]
-                b2 = g_ref[:, o + 5:o + 6]
-                c0 = g_ref[:, o + 6:o + 7]
-                c1 = g_ref[:, o + 7:o + 8]
-                c2 = g_ref[:, o + 8:o + 9]
-                d0 = g_ref[:, o + 9:o + 10]
-                d1 = g_ref[:, o + 10:o + 11]
-                d2 = g_ref[:, o + 11:o + 12]
-                e0 = g_ref[:, o + 12:o + 13]
-                e1 = g_ref[:, o + 13:o + 14]
-                e2 = g_ref[:, o + 14:o + 15]
-                f = g_ref[:, o + 15:o + 16]
-                ids = g_ref[:, o + 16:o + 17]
-                det = dx * n0 + dy * n1 + dz * n2      # = -det_MT
-                tt = f - (ox * n0 + oy * n1 + oz * n2)
-                uu = (mx * b0 + my * b1 + mz * b2
-                      + dx * c0 + dy * c1 + dz * c2)
-                vv = (mx * d0 + my * d1 + mz * d2
-                      + dx * e0 + dy * e1 + dz * e2)
-                inv = 1.0 / det  # det = 0 -> inf/NaN, self-filtered
-                t = tt * inv
-                u = uu * inv
-                v = vv * inv
-                # min-form barycentric test; NaN/inf compare false. The
-                # eps guard keeps near-parallel slivers from phantom
-                # far hits.
-                edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
-                # Closest-hit seeds acc_t with min(best, tmax) (see
-                # _frame), so t < acc_t subsumes t < tmax; any-hit
-                # keeps the explicit test (its seed must stay the raw
-                # best for the found-a-hit done threshold).
-                ok = ((edge >= 0.0) & (jnp.abs(det) > 1e-12)
-                      & (t > tmin))
-                if any_hit:
-                    ok = ok & (t < tmax)
-                better = ok & (t < acc_t[:])
-                acc_t[:] = jnp.where(better, t, acc_t[:])
-                acc_id[:] = jnp.where(
-                    better, jnp.broadcast_to(ids, (128, tile)),
-                    acc_id[:])
-                acc_u[:] = jnp.where(better, u, acc_u[:])
-                acc_v[:] = jnp.where(better, v, acc_v[:])
-            acc_bt[0:1, :] = jnp.min(acc_t[:], axis=0, keepdims=True)
+            _mt_update(g_ref, xt_ref, acc_t, acc_id, acc_u, acc_v,
+                       acc_bt, tile, any_hit)
 
         @pl.when(last & live)
         def _():
-            bt = jnp.min(acc_t[:], axis=0)
-            at_min = acc_t[:] == bt[None, :]
-            # Ids are float VALUES (exact below 2^24; bit patterns get
-            # denormal-flushed by float ops — see grid/packet.py).
-            idi = acc_id[:].astype(jnp.int32)
-            id_min = jnp.min(jnp.where(at_min & (idi >= 0), idi,
-                                       _BIGID), axis=0)
-            sel = at_min & (idi == id_min[None, :])
-            u_best = jnp.max(jnp.where(sel, acc_u[:], -_BIG), axis=0)
-            v_best = jnp.max(jnp.where(sel, acc_v[:], -_BIG), axis=0)
-            found = (bt < _BIG) & (id_min < _BIGID)
-            out_ref[0, :] = jnp.where(found, bt, _BIG)
-            out_ref[1, :] = jnp.where(found, id_min,
-                                      -1).astype(jnp.float32)
-            out_ref[2, :] = jnp.where(found, u_best, 0.0)
-            out_ref[3, :] = jnp.where(found, v_best, 0.0)
+            _flush(out_ref, acc_t, acc_id, acc_u, acc_v)
 
     return kernel
+
+
+def _make_kernel_dma(tile: int, nt: int, any_hit: bool):
+    """DMA-gather variant: the kernel fetches its 16 gather units
+    straight from the cols table in HBM (double-buffered, issued one
+    block ahead), instead of sweeping a pre-gathered stream. This
+    removes the XLA gather stage entirely — the gathered stream is
+    never materialized in HBM (saves a full write+read round-trip of
+    ~40KB/block) — and blocks whose rays have already terminated skip
+    the fetch as well as the math: the issue for block i+1 is gated on
+    the SAME early-out predicate, evaluated with the accumulator state
+    after block i (acc_bt only decreases, so a skip decided early
+    remains valid at processing time)."""
+    def kernel(tile_of, tminb, gidx, xt_ref, cols_hbm, out_ref,
+               gbuf0, gbuf1, sem0, sem1, issued,
+               acc_t, acc_id, acc_u, acc_v, acc_bt):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        t_cur = tile_of[i]
+        first = (i == 0) | (t_cur != tile_of[jnp.maximum(i - 1, 0)])
+        last = (i == n - 1) | (t_cur != tile_of[jnp.minimum(i + 1,
+                                                            n - 1)])
+        live = t_cur < nt
+
+        def dma(b, gb, sm, u):
+            idx = gidx[b * _UPB + u]
+            return pltpu.make_async_copy(
+                cols_hbm.at[pl.ds(idx * _U, _U), :],
+                gb.at[pl.ds(u * _U, _U), :],
+                sm.at[u])
+
+        def issue(b, gb, sm):
+            for u in range(_UPB):
+                dma(b, gb, sm, u).start()
+
+        def wait(b, gb, sm):
+            for u in range(_UPB):
+                dma(b, gb, sm, u).wait()
+
+        slots = ((gbuf0, sem0), (gbuf1, sem1))
+
+        # Warm-up: issue block 0 into slot 0 (no done-state yet).
+        @pl.when(i == 0)
+        def _():
+            issued[0] = jnp.where(live, 1, 0)
+            issued[1] = jnp.int32(0)
+
+            @pl.when(live)
+            def _():
+                issue(0, gbuf0, sem0)
+
+        @pl.when(first & live)
+        def _():
+            _acc_init(xt_ref, acc_t, acc_id, acc_u, acc_v, acc_bt, tile)
+
+        bt_bits = jax.lax.bitcast_convert_type(acc_bt[0:1, :],
+                                               jnp.int32)
+        done = jnp.all(bt_bits <= tminb[i])
+
+        slot = jax.lax.rem(i, 2)
+        for s, (gb, sm) in enumerate(slots):
+            was_issued = issued[s] == 1
+
+            # Drain the slot's semaphores before it can be re-issued
+            # (two steps later) even when the MT body is skipped.
+            @pl.when((slot == s) & was_issued)
+            def _(gb=gb, sm=sm):
+                wait(i, gb, sm)
+
+            @pl.when((slot == s) & was_issued & live & ~done)
+            def _(gb=gb, sm=sm):
+                _mt_update(gb, xt_ref, acc_t, acc_id, acc_u, acc_v,
+                           acc_bt, tile, any_hit)
+
+        # Issue block i+1 one step ahead. Gate on its own early-out:
+        # same tile + all lanes' running best already at or below its
+        # threshold -> its DMA (and MT) can never matter. acc_bt is
+        # monotone non-increasing, so the skip stays valid.
+        nxt = jnp.minimum(i + 1, n - 1)
+        t_nxt = tile_of[nxt]
+        live_nxt = t_nxt < nt
+        bt2 = jax.lax.bitcast_convert_type(acc_bt[0:1, :], jnp.int32)
+        nxt_done = (t_nxt == t_cur) & live & jnp.all(bt2 <= tminb[nxt])
+        do_issue = (i + 1 < n) & live_nxt & ~nxt_done
+        nslot = jax.lax.rem(i + 1, 2)
+        for s, (gb, sm) in enumerate(slots):
+            @pl.when((nslot == s) & (i + 1 < n))
+            def _(gb=gb, sm=sm, s=s):
+                issued[s] = jnp.where(do_issue, 1, 0)
+
+                @pl.when(do_issue)
+                def _():
+                    issue(i + 1, gb, sm)
+
+        @pl.when(last & live)
+        def _():
+            _flush(out_ref, acc_t, acc_id, acc_u, acc_v)
+
+    return kernel
+
+
+def _sweep_dma(xt_ext, cols, gidx, tile_of, tminb, tile, any_hit):
+    """One block-chunk sweep with in-kernel DMA gather (TPU only).
+    cols stays in HBM; each block's 16 aligned (8, 128) units are
+    DMA'd into VMEM one block ahead of the MT body."""
+    n_cols = xt_ext.shape[1]
+    nt = n_cols // tile - 1
+    grid = (tile_of.shape[0],)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((16, tile), lambda i, t, tb, gi: (0, t[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i, t, tb, gi: (0, t[i]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((128, _GW), jnp.float32),
+            pltpu.VMEM((128, _GW), jnp.float32),
+            pltpu.SemaphoreType.DMA((_UPB,)),
+            pltpu.SemaphoreType.DMA((_UPB,)),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((128, tile), jnp.float32),
+            pltpu.VMEM((8, tile), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel_dma(tile, nt, any_hit),
+        out_shape=jax.ShapeDtypeStruct((8, n_cols), jnp.float32),
+        grid_spec=grid_spec,
+    )(tile_of, tminb, gidx, xt_ext, cols)
 
 
 def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, any_hit,
@@ -231,7 +394,7 @@ def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, any_hit,
         in_specs=[
             pl.BlockSpec((16, tile), lambda i, t, tb: (0, t[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 20 * _G), lambda i, t, tb: (i + boff, 0),
+            pl.BlockSpec((128, _GW), lambda i, t, tb: (i + boff, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, tile), lambda i, t, tb: (0, t[i]),
@@ -623,15 +786,31 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     # Emit in GATHER UNITS (32 refs): round the ref range outward — the
     # extra refs at each end are real triangles of the same layout or
     # zero pad rows (conservative-correct; layout offsets in rs are
-    # 256-multiples so units never straddle layouts).
+    # 768-multiples so units never straddle layouts).
     refs_u = _G * _U
     lo_r = jnp.concatenate([g1, t1[:, :, None]], axis=2)
     hi_r = jnp.concatenate([g2, t2[:, :, None]], axis=2)
     lo_g = lo_r // refs_u
     hi_g = -(-hi_r // refs_u)
     ok3 = jnp.concatenate([row_ok, has_tail[:, :, None]], axis=2)
-    cnt_g = jnp.where(ok3 & (hi_r > lo_r),
-                      jnp.maximum(hi_g - lo_g, 0), 0)
+    valid = ok3 & (hi_r > lo_r)
+    # Boundary-unit dedup: a slice's slots (rows ascending, then the
+    # tail) are DISJOINT ascending ref spans, so their unit round-outs
+    # can only overlap by the single unit shared at each boundary.
+    # Clamping each slot's start unit to the running max end of the
+    # slice's earlier slots drops exactly those double-gathered units
+    # (the dropped unit is always fully covered by the earlier slot's
+    # emission — conservative-correct). Measured: the per-row column
+    # trim makes ranges short (mean 2.8 units), so boundary units are
+    # a real fraction of the stream.
+    hi_m = jnp.where(valid, hi_g, 0)
+    run = jnp.zeros(hi_m.shape[:2], hi_m.dtype)
+    lo_cl = []
+    for r in range(_RMAX + 1):
+        lo_cl.append(jnp.maximum(lo_g[:, :, r], run))
+        run = jnp.maximum(run, hi_m[:, :, r])
+    lo_g = jnp.stack(lo_cl, axis=2)
+    cnt_g = jnp.where(valid, jnp.maximum(hi_g - lo_g, 0), 0)
 
     # Early-out thresholds: closest-hit slots can't improve a ray once
     # its best <= the slot's tile-entry t (>= 0, so int bit order ==
@@ -732,9 +911,9 @@ def _merge(best, out_ext, tile_of):
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims3", "slab", "any_hit", "tile", "bcaps", "interpret"))
+    "dims3", "slab", "any_hit", "tile", "bcaps", "interpret", "dma"))
 def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
-           dims3, slab, any_hit, tile, bcaps, interpret):
+           dims3, slab, any_hit, tile, bcaps, interpret, dma=False):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
@@ -750,11 +929,11 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
             jnp.zeros((nt, tile), jnp.float32))
     ka = per_tile["k0"]
     step = per_tile["step"]
-    # Gather units: aligned (8, 80) tiles of the group-row cols table
+    # Gather units: aligned (8, 128) tiles of the group-row cols table
     # (a layout-preserving reshape — group rows ARE the stored form).
     # The zero tail group rows form exactly the last unit — the dead
     # gather target.
-    cols_u = cols.reshape(-1, _U, 20 * _G)
+    cols_u = cols.reshape(-1, _U, _GW)
     dead_idx = cols_u.shape[0] - 1
     overflow = jnp.int32(0)
     demand_max = jnp.int32(0)              # peak per-round block demand
@@ -784,10 +963,29 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
             jnp.concatenate([seed.reshape(1, -1),
                              jnp.full((1, tile), -_BIG)], axis=1),
             (14, 0))
+        if dma:
+            # In-kernel DMA gather: no pre-gathered stream at all — the
+            # sweep kernel fetches each block's 16 aligned (8, 128)
+            # units straight from `cols` in HBM, double-buffered one
+            # block ahead, and skips the fetch for early-out blocks.
+            for off in range(0, bcap, _CHUNK):
+                w = min(_CHUNK, bcap - off)
+                t_c = tile_of[off:off + w]
+                tb_c = tminb[off:off + w]
+                gi_c = gidx[off * _UPB:(off + w) * _UPB]
+
+                def do_chunk(best, t_c=t_c, tb_c=tb_c, gi_c=gi_c):
+                    out_ext = _sweep_dma(xt_round, cols, gi_c, t_c,
+                                         tb_c, tile, any_hit)
+                    return _merge(best, out_ext, t_c)
+
+                best = jax.lax.cond(n_blocks > off, do_chunk,
+                                    lambda b: b, best)
+            ka = ka + step * slab
+            continue
         # Gather in cond-gated pieces so round slack is never gathered
-        # (aligned (8, 80) units read ~1.6x their bytes vs ~12.8x for
-        # single 80-lane rows; the pieces are XLA ops inside the frame,
-        # launch-free). Pieces concatenate instead of updating one
+        # (aligned (8, 128) units read exactly their bytes; the pieces
+        # are XLA ops inside the frame, launch-free). Pieces concatenate instead of updating one
         # bcap-wide canvas: no giant buffer is threaded through the
         # conds.
         pieces = []
@@ -795,10 +993,10 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
             gw = min(_GCHUNK, bcap - goff)
 
             def do_gather(gi, gw=gw):
-                return cols_u[gi].reshape(gw * 128, 20 * _G)
+                return cols_u[gi].reshape(gw * 128, _GW)
 
             def skip(gi, gw=gw):
-                return jnp.zeros((gw * 128, 20 * _G), jnp.float32)
+                return jnp.zeros((gw * 128, _GW), jnp.float32)
 
             pieces.append(jax.lax.cond(
                 n_blocks > goff, do_gather, skip,
@@ -834,7 +1032,8 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                 slab: int | None = None, bmax: int | None = None,
                 return_overflow: bool = False,
                 coherent: bool = False,
-                return_demand: bool = False):
+                return_demand: bool = False,
+                dma: bool | None = None):
     """Trace rays against a PacketGrid with the planned-sweep kernel.
 
     The frame runs as one jitted computation with no host syncs. If a
@@ -852,6 +1051,10 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     falls back to interpret mode (Mosaic is TPU-only)."""
     if jax.default_backend() == "cpu":
         interpret = True
+    if dma is None:
+        # In-kernel DMA gather is the TPU default; interpret mode
+        # (CPU tests) lacks Mosaic DMA, so it keeps the XLA gather.
+        dma = not interpret
     da_max = max(d[0] for d in grid.dims3)
     if slab is None:
         slab = da_max
@@ -889,7 +1092,8 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     bcaps = tuple(_cap(r) for r in range(max_rounds))
     best, overflow, demand = _frame(
         xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
-        grid.planes, grid.dims3, slab, any_hit, tile, bcaps, interpret)
+        grid.planes, grid.dims3, slab, any_hit, tile, bcaps, interpret,
+        dma=dma)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the
