@@ -58,7 +58,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import Triangles
-from ..ops.segment import expand_by_counts, segment_starts, sort_pairs
+from ..ops.segment import segment_starts, sort_pairs
 from ..utils.config import density_dims
 from .uniform import tri_box_overlap, tri_voxel_ranges
 
@@ -183,23 +183,13 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
            adaptive=True):
     """Bin tris into each layout's (independent) grid and emit the
     sweep-tracer tables (rs spans + cols MT rows)."""
-    # One fused per-tri attribute row [v0 e1 e2 id 0*6]: the per-layout
-    # ref tables then need ONE 64B-row gather each instead of three
-    # narrow ones (row gathers are latency-bound: ~35ns/row). Column 9
-    # is the tri id as a float VALUE (see module docstring).
-    tri_t = jnp.concatenate(
-        [tris.v0, tris.e1, tris.e2,
-         jnp.arange(max(tris.count, 1),
-                    dtype=jnp.int32).astype(jnp.float32)[:, None],
-         jnp.zeros((max(tris.count, 1), 6), jnp.float32)], axis=1)
-
+    n1 = max(tris.count, 1)
     tlo3, thi3 = tris.bounds()
     planes = _slice_planes(tlo3, thi3, bbox_lo, bbox_hi, dims3, adaptive)
 
-    rs_parts = []
-    cols_parts = []
-    totals = []
-    reals = []
+    # Pass 1 (cheap per-tri math): per-layout voxel ranges packed into
+    # 10-bit fields, expansion offsets, counts.
+    lay = []
     for axis in range(3):
         a, b, c = _axis_order(axis)
         da, db, dc = dims3[axis]
@@ -219,28 +209,81 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             hi = hi.at[:, a].set(va_hi)
         span = hi - lo + 1
         counts = span[:, 0] * span[:, 1] * span[:, 2]
-        tri_idx, rank, valid, total = expand_by_counts(counts,
-                                                      ref_capacity)
-        # Per-pair (lo, span) WITHOUT a row gather: these are per-tri
-        # INT fields constant within each expansion run, so a delta
-        # scatter at run starts + column cumsum forward-fills them
-        # exactly (a row gather reads a whole (8,128) tile per 24B row
-        # — ~170x read amplification at this width).
-        lospan_t = jnp.concatenate([lo, span], axis=1)
-        d_ls = jnp.diff(lospan_t, axis=0, prepend=jnp.zeros(
-            (1, 6), lospan_t.dtype))
-        run_starts = jnp.cumsum(counts) - counts
-        ls_ff = jnp.cumsum(
-            jnp.zeros((ref_capacity, 6), jnp.int32).at[run_starts].add(
-                d_ls, mode="drop"), axis=0)
-        s = ls_ff[:, 3:6]
-        l = ls_ff[:, 0:3]
-        dx = rank % s[:, 0]
-        rem = rank // s[:, 0]
-        dy = rem % s[:, 1]
-        dz = rem // s[:, 1]
-        v = jnp.stack([l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz], axis=1)
+        offsets = jnp.cumsum(counts) - counts
+        total = offsets[-1] + counts[-1]
+        p_lo = lo[:, 0] + (lo[:, 1] << 10) + (lo[:, 2] << 20)
+        p_sp = span[:, 0] + (span[:, 1] << 10) + (span[:, 2] << 20)
+        lay.append(dict(offsets=offsets, total=total, p_lo=p_lo,
+                        p_sp=p_sp, dims_xyz=tuple(dims_xyz)))
 
+    # One fused per-tri attribute row [v0 e1 e2 id 0*6]: the per-layout
+    # ref tables then need ONE 64B-row gather each instead of three
+    # narrow ones (row gathers are latency-bound: ~35ns/row). Column 9
+    # is the tri id as a float VALUE (see module docstring).
+    # (Round-4 note: carrying the per-layout [offset, p_lo, p_sp]
+    # payload in these rows and recovering it through the SAT gather —
+    # to replace the forward-fill chains below — was MEASURED 2.2x
+    # WORSE: 254 ms vs 116 ms full build. Row gathers on this backend
+    # cost far more per element than scatter+cumsum chains; the
+    # forward-fill design stays.)
+    tri_t = jnp.concatenate(
+        [tris.v0, tris.e1, tris.e2,
+         jnp.arange(n1, dtype=jnp.int32).astype(jnp.float32)[:, None],
+         jnp.zeros((n1, 6), jnp.float32)], axis=1)
+
+    rs_parts = []
+    cols_parts = []
+    totals = []
+    reals = []
+    for axis in range(3):
+        a, b, c = _axis_order(axis)
+        da, db, dc = dims3[axis]
+        L = lay[axis]
+        offsets = L["offsets"]
+        total = L["total"]
+        # Run-owner per output slot: +1 marker at every run start,
+        # prefix sum (empty runs stack markers and telescope past).
+        markers = jnp.zeros((ref_capacity,), jnp.int32).at[offsets].add(
+            1, mode="drop")
+        tri_idx = jnp.clip(jnp.cumsum(markers) - 1, 0, n1 - 1)
+        j = jnp.arange(ref_capacity, dtype=jnp.int32)
+        valid = j < total
+        # Per-pair (offset, lo, span) WITHOUT a row gather: per-tri INT
+        # fields constant within each expansion run forward-fill
+        # exactly via a delta scatter at run starts + cumsum. The three
+        # 10-bit voxel fields ride PACKED in one i32 each (dims cap at
+        # 1023): integer addition carries borrows across fields
+        # exactly, and every forward-filled value decodes to in-range
+        # fields, so the packed cumsum equals the field-wise cumsum —
+        # one (cap,) stream instead of a (cap, 6) one whose 6-lane rows
+        # waste 95% of the VPU (measured 14.6 -> 5 ms per layout).
+        def ff1(p, offsets=offsets):
+            d = jnp.diff(p, prepend=jnp.zeros((1,), p.dtype))
+            return jnp.cumsum(jnp.zeros(
+                (ref_capacity,), jnp.int32).at[offsets].add(
+                    d, mode="drop"))
+
+        # rank = offset within the run: the current run's start is the
+        # running max of marker positions (markers stack on one slot
+        # for empty runs — same position, still correct), reusing the
+        # markers scatter instead of forward-filling offsets.
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(markers > 0, j, 0))
+        rank = j - run_start
+        lo_ff = ff1(L["p_lo"])
+        sp_ff = ff1(L["p_sp"])
+        s0 = sp_ff & 1023
+        s1 = (sp_ff >> 10) & 1023
+        dx = rank % s0
+        rem = rank // s0
+        dy = rem % s1
+        dz = rem // s1
+        v = jnp.stack([(lo_ff & 1023) + dx,
+                       ((lo_ff >> 10) & 1023) + dy,
+                       (lo_ff >> 20) + dz], axis=1)
+        tvk = tri_t[tri_idx]        # one 64B-row gather: v0|e1|e2
+
+        dims_xyz = L["dims_xyz"]
         num_cells = da * db * dc
         # Exact SAT pruning (reference parity: src/build.cu exact
         # overlap): drop (tri, cell) pairs whose triangle misses the
@@ -253,12 +296,12 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
         cell_hi = cell_lo + csx[None, :]
         # Slice-axis box bounds from the plane table (tiny-table
         # gathers; dims b/c keep the uniform expressions above).
+        P = planes[axis]
         pa0 = P[jnp.clip(v[:, a], 0, da)]
         pa1 = P[jnp.clip(v[:, a] + 1, 0, da)]
         cell_lo = cell_lo.at[:, a].set(pa0)
         cell_hi = cell_hi.at[:, a].set(pa1)
-        tvk = tri_t[tri_idx]        # one 64B-row gather: v0|e1|e2
-        tv0 = tvk[:, 0:3]
+        tv0 = tvk[:, 0:3]           # from the payload gather above
         sat = tri_box_overlap(tv0, tv0 + tvk[:, 3:6],
                               tv0 + tvk[:, 6:9],
                               cell_lo, cell_hi)
@@ -328,6 +371,9 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         raise ValueError(
             f"packet grid carries tri ids as f32 values, exact only "
             f"below {MAX_TRIS} tris (got {tris.count})")
+    if dims3 is not None and max(max(d) for d in dims3) > 1023:
+        raise ValueError("packet grid dims are capped at 1023 per axis "
+                         "(voxel coords ride packed in 10-bit fields)")
     if tris.count == 0:
         d3 = ((1, 1, 1),) * 3
         # Empty rows: rs spans all empty (every boundary 0).
@@ -354,8 +400,10 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
     if dims3 is not None:
         pass
     elif dims is None:
-        cross = density_dims(hi - lo, tris.count, cross_density)
-        slab = density_dims(hi - lo, tris.count, slice_density)
+        cross = [min(d, 1023) for d in
+                 density_dims(hi - lo, tris.count, cross_density)]
+        slab = [min(d, 1023) for d in
+                density_dims(hi - lo, tris.count, slice_density)]
         dims3 = tuple(
             (slab[a], cross[(a + 1) % 3], cross[(a + 2) % 3])
             for a in range(3))

@@ -32,7 +32,7 @@ def _spawn(p, n, d, t_near, t_far):
 
 
 def trace_sorted(session, rays: Rays, any_hit: bool = False,
-                 sort: bool = False):
+                 sort: bool = False, cal_key=None):
     """Incoherent-wave entry point, optionally coherence-sorting first.
 
     Measured twice, both against sorting: on the wavefront path gather
@@ -42,10 +42,10 @@ def trace_sorted(session, rays: Rays, any_hit: bool = False,
     (+33% block demand — image-block origin locality is finer). Default
     stays unsorted; sort=True serves waves with no inherited order."""
     if not sort:
-        return session.trace(rays, any_hit=any_hit)
+        return session.trace(rays, any_hit=any_hit, cal_key=cal_key)
     grid = session.grid
     sorted_rays, perm = sortrays.sort_rays(rays, grid.bbox_lo, grid.bbox_hi)
-    hits = session.trace(sorted_rays, any_hit=any_hit)
+    hits = session.trace(sorted_rays, any_hit=any_hit, cal_key=cal_key)
     return sortrays.unsort(hits, perm)
 
 
@@ -58,11 +58,12 @@ def ambient_occlusion(session, rays: Rays, hits, key, n_samples: int = 4,
     if max_dist is None:
         max_dist = float(jnp.max(grid.bbox_hi - grid.bbox_lo)) * 0.1
     acc = jnp.zeros(rays.count, jnp.float32)
-    for k in jax.random.split(key, n_samples):
+    for i, k in enumerate(jax.random.split(key, n_samples)):
         d = cosine_hemisphere(k, n)
         tmax = jnp.where(found, max_dist, 0.0)  # dead rays for misses
         sec = _spawn(p, n, d, 0.0, tmax)
-        occ = trace_sorted(session, sec, any_hit=True).tri_id >= 0
+        occ = trace_sorted(session, sec, any_hit=True,
+                           cal_key=("ao", i)).tri_id >= 0
         acc = acc + jnp.where(found & ~occ, 1.0, 0.0)
     return acc / n_samples
 
@@ -78,7 +79,8 @@ def shadow(session, rays: Rays, hits, light_pos):
     cos = jnp.maximum(jnp.sum(n * d, axis=-1), 0.0)
     tmax = jnp.where(found & (cos > 0), dist * (1.0 - 2.0 * EPS_REL), 0.0)
     sec = _spawn(p, n, d, 0.0, tmax)
-    blocked = trace_sorted(session, sec, any_hit=True).tri_id >= 0
+    blocked = trace_sorted(session, sec, any_hit=True,
+                           cal_key="shadow").tri_id >= 0
     return jnp.where(found & ~blocked, cos, 0.0)
 
 
@@ -132,7 +134,8 @@ def path_trace(session, cam, width: int, height: int, seed: int = 0,
         live = jnp.ones((n,), bool)
         for bounce in range(max_bounces):
             hits = (session.trace(rays, coherent=True) if bounce == 0
-                    else trace_sorted(session, rays))
+                    else trace_sorted(session, rays,
+                                      cal_key=("path", bounce)))
             found = hits.tri_id >= 0
             # Escaped rays collect the sky.
             radiance = radiance + jnp.where(live & ~found,

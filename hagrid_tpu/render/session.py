@@ -102,17 +102,25 @@ class RenderSession:
         return self.grid.total_refs  # something to block on
 
     def trace(self, rays: Rays, any_hit: bool = False,
-              coherent: bool = False) -> Hits:
+              coherent: bool = False, cal_key=None) -> Hits:
         """coherent=True: rays are already direction-coherent in order
         (camera primaries) — the packet path then skips its binning
-        permutation. Ignored by the other structures."""
+        permutation. Ignored by the other structures.
+
+        cal_key: extra identity for the demand calibration. Different
+        wave KINDS have very different block demands (a primary frame
+        vs the 3rd path bounce), so callers issuing several waves of
+        the same shape per frame must distinguish them — sharing one
+        calibrated budget across AO samples / path bounces was exactly
+        what overflowed round 3's AO and path numbers (the budget was
+        calibrated on whichever wave ran first)."""
         if self.structure == "uniform":
             return uniform.trace_uniform_fast(self.grid, rays,
                                               any_hit=any_hit)
         if self.structure == "irregular":
             return irregular.trace_irregular_fast(self.grid, rays,
                                                   any_hit=any_hit)
-        key = (any_hit, coherent, rays.count)
+        key = (any_hit, coherent, rays.count, cal_key)
         bmax = self._bmax_cal.get(key)
         if bmax is None:
             _, _, demand = trace_sweep(
@@ -122,8 +130,12 @@ class RenderSession:
             # give them more slack than fixed-camera primaries.
             margin = 1.3 if (coherent and not any_hit) else 1.5
             d = int(jax.device_get(demand))
+            # Quantize to 1024-block steps: distinct wave kinds with
+            # similar demand then share one compiled frame (budgets are
+            # static shapes; a fresh compile per cal_key would cost
+            # ~30s each on this backend).
             bmax = min(
-                24576, max(256, -(-int(d * margin) // 128) * 128))
+                24576, max(1024, -(-int(d * margin) // 1024) * 1024))
             self._bmax_cal[key] = bmax
             # Fall through to a calibrated-budget trace: the budget is
             # a static shape, so the calibrated variant compiles HERE
