@@ -30,25 +30,44 @@ def morton3(ix, iy, iz):
     return (_part1by2(ix) | (_part1by2(iy) << 1) | (_part1by2(iz) << 2))
 
 
-def coherence_keys(rays: Rays, bbox_lo, bbox_hi, bits: int = 7):
-    """Sort key: direction octant (3 bits) then origin Morton (3*bits)."""
-    d = rays.dir
-    octant = ((d[:, 0] >= 0).astype(jnp.int32)
-              | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
-              | ((d[:, 2] >= 0).astype(jnp.int32) << 2))
+def coherence_keys(rays: Rays, bbox_lo, bbox_hi, bits: int = 7,
+                   origin_major: bool = False):
+    """Sort key. Two modes:
+
+    - octant-major (default, bits<=9): direction octant (3 bits) then
+      origin Morton (3*bits). Measured WORSE than caller order for
+      camera-derived waves (+33% sweep block demand): direction
+      coherence is not what bounds the sweep planner's frusta.
+    - origin_major (bits<=10): origin Morton only. For hemisphere
+      waves (AO, diffuse bounces) the frustum blowup is partly the
+      per-tile origin DEPTH spread (hit points of one image block lie
+      at any depth). Measured on a Sponza 1M-ray AO wave (block
+      demand, tile=512): caller order 173.6k; 24-group direction
+      sub-binning 284k (WORSE — it scatters origins); 10-bit
+      origin-major sort 103.7k, saturating already at 5 bits. The
+      downstream (axis, sign) binning keeps the stable sorted order,
+      so tiles stay direction-pure AND origin-tight."""
     scale = (1 << bits) / (bbox_hi - bbox_lo + 1e-20)
     q = jnp.clip(((rays.org - bbox_lo) * scale).astype(jnp.int32), 0,
                  (1 << bits) - 1)
     m = morton3(q[:, 0], q[:, 1], q[:, 2])
+    if origin_major:
+        return m
+    d = rays.dir
+    octant = ((d[:, 0] >= 0).astype(jnp.int32)
+              | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.int32) << 2))
     return (octant << (3 * bits)) | m
 
 
-def sort_rays(rays: Rays, bbox_lo, bbox_hi, mask=None):
+def sort_rays(rays: Rays, bbox_lo, bbox_hi, mask=None, bits: int = 7,
+              origin_major: bool = False):
     """Returns (sorted rays, perm) — apply results back as out[perm] = res.
 
     mask: optional bool[N]; False rays sort to the back (combined
     sort+compaction for wavefront bounces)."""
-    keys = coherence_keys(rays, bbox_lo, bbox_hi)
+    keys = coherence_keys(rays, bbox_lo, bbox_hi, bits=bits,
+                          origin_major=origin_major)
     if mask is not None:
         keys = jnp.where(mask, keys, jnp.int32(2 ** 30))
     idx = jnp.arange(rays.count, dtype=jnp.int32)

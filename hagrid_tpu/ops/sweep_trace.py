@@ -88,6 +88,8 @@ _U = int(os.environ.get("HAGRID_SWEEP_U", "4"))
 #                 Smaller units waste fewer round-out refs (the ranges
 #                 are short: mean ~2.8 48-ref units on Sponza
 #                 primaries) but cost more DMA issues per block.
+_NGROUPS = 7       # (axis, sign) groups + 1 dead group
+_NGROUPS_FINE = 25  # (axis, sign, minor-sign quadrant) groups + dead
 _UPB = 128 // _U  # gather units per 768-ref block
 _BREF = 128 * _G  # refs per block
 # Blocks per pallas_call, sized so the prefetched unit-index array
@@ -419,22 +421,31 @@ def _sweep(xt_ext, g_round, tile_of, tminb, boff, tile, any_hit,
 # Binning and per-tile precompute (all XLA)
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "tile"))
-def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
+@functools.partial(jax.jit, static_argnames=("n_pad", "tile", "fine"))
+def _bin_rays(org, dir, tmin, tmax, n_pad, tile, fine=False):
     """Group rays by (major axis, sign) into tile-aligned segments via
     masked cumsums (stable counting sort; no device-wide lax.sort).
     Returns (xp_ext (rows, 16), xt_ext (16, rows), inv) with a trailing
     all-dead dummy tile; inv maps row -> original ray (-1 padding).
 
-    Masked-dead rays (tmax <= 0) go to a 7th group so live tiles stay
-    densely packed — sort-based compaction with static shapes. Within
-    groups the stable sort PRESERVES caller order, which for camera-
-    derived secondary waves carries image-block origin locality finer
-    than any scene-space code: re-ordering an AO wave by (direction
-    octant, 7-bit origin Morton) was measured to cost +33% block
-    demand (Sponza 256^2 wave-1, plan-only probe), so no Morton pass
-    here; ops/sortrays stays available for caller-side sorting of
-    genuinely orderless waves."""
+    Masked-dead rays (tmax <= 0) go to a final dead group so live tiles
+    stay densely packed — sort-based compaction with static shapes.
+    Within groups the stable sort PRESERVES caller order, which for
+    camera-derived secondary waves carries image-block origin locality
+    finer than any scene-space code: re-ordering an AO wave by
+    (direction octant, 7-bit origin Morton) was measured to cost +33%
+    block demand (Sponza 256^2 wave-1, plan-only probe), so no Morton
+    pass here; ops/sortrays stays available for caller-side sorting of
+    genuinely orderless waves.
+
+    fine=True: subdivide each (axis, sign) group by the SIGNS of the
+    two minor direction components (24 live groups + dead). Hemisphere-
+    sampled waves (AO, diffuse bounces) have tile direction cones
+    spanning the whole axis quadrant, so their frustum rects cover most
+    of each slice's cross-section (measured 173k-block demand on a
+    Sponza AO wave = 35x primaries); quartering the cone trades a ~2x
+    wider per-quarter origin box (the subgroup's rays come from 4x the
+    image area) for a 4x narrower direction fan."""
     x = rays_to_x(org, dir, tmin, tmax)
     n = x.shape[0]
     d = x[:, 4:7]
@@ -443,11 +454,21 @@ def _bin_rays(org, dir, tmin, tmax, n_pad, tile):
                      jnp.where(ad[:, 1] >= ad[:, 2], 1, 2))
     sign = (jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
             < 0).astype(jnp.int32)
-    g = jnp.where(x[:, 13] > 0, axis * 2 + sign, 6)
+    g6 = axis * 2 + sign
+    if fine:
+        d1 = jnp.take_along_axis(d, ((axis + 1) % 3)[:, None],
+                                 axis=1)[:, 0]
+        d2 = jnp.take_along_axis(d, ((axis + 2) % 3)[:, None],
+                                 axis=1)[:, 0]
+        sub = (d1 < 0).astype(jnp.int32) * 2 + (d2 < 0).astype(jnp.int32)
+        glive, ng = g6 * 4 + sub, _NGROUPS_FINE
+    else:
+        glive, ng = g6, _NGROUPS
+    g = jnp.where(x[:, 13] > 0, glive, ng - 1)
 
     ranks = jnp.zeros((n,), jnp.int32)
     counts = []
-    for k in range(7):
+    for k in range(ng):
         mk = (g == k).astype(jnp.int32)
         ck = jnp.cumsum(mk)
         ranks = jnp.where(g == k, ck - 1, ranks)
@@ -580,7 +601,7 @@ def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile,
 # ----------------------------------------------------------------------
 
 def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
-          best_t, dims3, slab, any_hit):
+          best_t, dims3, slab, any_hit, rmax=_RMAX):
     """One slab's plan: per-tile frustum rect per slice, turned into
     REF-level ranges via the rs tables (2 gathers per rect row).
     Returns (range_start, range_count, thr_bits) flattened over
@@ -695,7 +716,7 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     # the trim falls back to the slice interval), then derive the
     # column interval from the restricted t's. Measured on Sponza
     # primaries this cuts gathered refs ~=1.4x vs the slice-wide rect.
-    rr = jnp.arange(_RMAX, dtype=jnp.int32)
+    rr = jnp.arange(rmax, dtype=jnp.int32)
     j_r = b0[:, :, None] + rr[None, None, :]                # (nt,S,R)
     db_pos = db_lo > 1e-30
     db_neg = db_hi < -1e-30
@@ -776,8 +797,8 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     g1 = rs[qidx(k_cl, j_cl, c0_r)]
     g2 = rs[qidx(k_cl, j_cl, jnp.maximum(c1_r, 0) + 1)]
 
-    has_tail = rect_ok & (b1 - b0 + 1 > _RMAX)
-    jt = jnp.minimum(b0 + _RMAX, n_b[:, None] - 1)
+    has_tail = rect_ok & (b1 - b0 + 1 > rmax)
+    jt = jnp.minimum(b0 + rmax, n_b[:, None] - 1)
     t1 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + jt)
              * (n_c[:, None] + 1))]
     t2 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + b1)
@@ -806,7 +827,7 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     hi_m = jnp.where(valid, hi_g, 0)
     run = jnp.zeros(hi_m.shape[:2], hi_m.dtype)
     lo_cl = []
-    for r in range(_RMAX + 1):
+    for r in range(rmax + 1):
         lo_cl.append(jnp.maximum(lo_g[:, :, r], run))
         run = jnp.maximum(run, hi_m[:, :, r])
     lo_g = jnp.stack(lo_cl, axis=2)
@@ -830,7 +851,7 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     return lo_g.reshape(-1), cnt_g.reshape(-1), thr.reshape(-1)
 
 
-def _items(starts, counts, thr, nt, slab, bcap, dead_idx):
+def _items(starts, counts, thr, nt, slab, bcap, dead_idx, rmax=_RMAX):
     """Pack the ranges' gather units into a dense per-round stream:
     gidx (bcap*_UPB,) unit indices to gather (dead_idx for padding),
     tile_of (bcap,) the owning tile per 16-unit block (nt for unused
@@ -839,7 +860,7 @@ def _items(starts, counts, thr, nt, slab, bcap, dead_idx):
     unclamped unit demand (overflow detection). Each tile's segment is
     padded to a block (16-unit) multiple so blocks never straddle
     tiles."""
-    nr = slab * (_RMAX + 1)
+    nr = slab * (rmax + 1)
     ucap = bcap * _UPB
     cnt2 = counts.reshape(nt, nr)
     tile_tot = cnt2.sum(1)
@@ -911,9 +932,11 @@ def _merge(best, out_ext, tile_of):
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims3", "slab", "any_hit", "tile", "bcaps", "interpret", "dma"))
+    "dims3", "slab", "any_hit", "tile", "bcaps", "interpret", "dma",
+    "rmax"))
 def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
-           dims3, slab, any_hit, tile, bcaps, interpret, dma=False):
+           dims3, slab, any_hit, tile, bcaps, interpret, dma=False,
+           rmax=_RMAX):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
@@ -943,9 +966,9 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
     for bcap in bcaps:
         starts, counts, thr = _plan(per_ray, per_tile, cs_tab, n_tab,
                                     lo_tab, rs, ka, best[0], dims3,
-                                    slab, any_hit)
+                                    slab, any_hit, rmax=rmax)
         gidx, tile_of, tminb, n_blocks, demand = _items(
-            starts, counts, thr, nt, slab, bcap, dead_idx)
+            starts, counts, thr, nt, slab, bcap, dead_idx, rmax=rmax)
         overflow = overflow | (demand > bcap * _UPB)
         demand_max = jnp.maximum(demand_max, demand // _UPB)
         # Kernel seed row: current best per binned lane (dummy tile
@@ -1033,7 +1056,9 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
                 return_overflow: bool = False,
                 coherent: bool = False,
                 return_demand: bool = False,
-                dma: bool | None = None):
+                dma: bool | None = None,
+                fine_bins: bool | None = None,
+                rmax: int | None = None):
     """Trace rays against a PacketGrid with the planned-sweep kernel.
 
     The frame runs as one jitted computation with no host syncs. If a
@@ -1058,8 +1083,17 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     da_max = max(d[0] for d in grid.dims3)
     if slab is None:
         slab = da_max
+    if fine_bins is None:
+        # MEASURED OFF by default: on a Sponza AO wave the 24-group
+        # minor-sign split RAISED block demand 173k -> 284k (and
+        # 103.7k -> 126.8k on origin-sorted rays) — the finer groups
+        # scatter each tile's origins across the image, and origin
+        # spread costs more than the narrower direction fan saves.
+        # Kept as an option for waves with no origin locality at all.
+        fine_bins = False
     n = rays.count
-    n_pad = (-(-n // tile) + (0 if coherent else 7)) * tile
+    ngroups = (_NGROUPS_FINE if fine_bins else _NGROUPS) - 1
+    n_pad = (-(-n // tile) + (0 if coherent else ngroups + 1)) * tile
     nt = n_pad // tile
     max_rounds = -(-da_max // slab)
     if bmax is None:
@@ -1073,7 +1107,8 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         inv = None
     else:
         xp_ext, xt_ext, inv = _bin_rays(rays.org, rays.dir, rays.tmin,
-                                        rays.tmax, n_pad, tile)
+                                        rays.tmax, n_pad, tile,
+                                        fine=fine_bins)
 
     # Per-round budget ladder: round demands decay fast once rays start
     # terminating (measured 4493/2213/0 blocks on Sponza primaries), and
@@ -1090,10 +1125,16 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         return max(128, int(bmax * f) // 128 * 128)
 
     bcaps = tuple(_cap(r) for r in range(max_rounds))
+    if rmax is None:
+        # Incoherent waves have much TALLER rects (origins at every
+        # depth): rows past the trimmed slots fall into the untrimmed
+        # multi-row tail, which is where their demand concentrates, so
+        # they get more per-row trim slots by default.
+        rmax = _RMAX if coherent else 2 * _RMAX
     best, overflow, demand = _frame(
         xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
         grid.planes, grid.dims3, slab, any_hit, tile, bcaps, interpret,
-        dma=dma)
+        dma=dma, rmax=rmax)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the
