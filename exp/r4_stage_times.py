@@ -58,7 +58,7 @@ slab = max(dd[0] for dd in grid.dims3)
 
 h0, ovf0, dem = st.trace_sweep(grid, rays, coherent=True,
                                return_overflow=True, return_demand=True)
-d = int(jax.device_get(dem))
+d = int(jax.device_get(dem)[0])
 BCAP = max(256, -(-int(d * 13) // 1280) * 128)
 log(f"demand={d} blocks ({d * st._BREF} ref slots) BCAP={BCAP}")
 

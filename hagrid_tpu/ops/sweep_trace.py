@@ -60,6 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import Hits, Rays
 from ..grid.packet import PacketGrid, rays_to_x
+from .segment import expand_by_counts
 
 _BIG = 3e38
 _BIG_BITS = int(np.float32(3e38).view(np.int32))  # bit pattern of _BIG
@@ -600,14 +601,13 @@ def _precompute(xp, cs_tab, n_tab, lo_tab, bbox_lo, bbox_hi, tile,
 # Round planning (all XLA, inside the frame jit)
 # ----------------------------------------------------------------------
 
-def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
-          best_t, dims3, slab, any_hit, rmax=_RMAX):
-    """One slab's plan: per-tile frustum rect per slice, turned into
-    REF-level ranges via the rs tables (2 gathers per rect row).
-    Returns (range_start, range_count, thr_bits) flattened over
-    (tile, slice, RMAX row slots + 1 tail slot); thr_bits is the i32
-    bit pattern of the slice's tile-entry t (the kernel's early-out
-    threshold: no ref of the slot can hit earlier than it)."""
+def _plan_dense(per_ray, per_tile, cs_tab, n_tab, lo_tab, ka,
+                best_t, dims3, slab, any_hit):
+    """Dense per-(tile, slice) phase shared by the dense slot planner
+    (_plan) and the compacted row-stream planner (_plan_items2):
+    per-tile axis tables, per-quarter frustum bounds, per-slice
+    t-windows and row rects. Reductions and elementwise math only —
+    no device-wide gathers or scatters."""
     axis = per_tile["axis"]
     step = per_tile["step"]
     nt = axis.shape[0]
@@ -707,6 +707,54 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     b0 = jnp.where(rect_ok, b0, 0)
     b1 = jnp.where(rect_ok, b1, 0)
 
+    # rs flat indexing: per-layout base offsets + per-tile strides.
+    qbase_list = []
+    off = 0
+    for a in range(3):
+        da_, db_, dc_ = dims3[a]
+        qbase_list.append(off)
+        off += da_ * db_ * (dc_ + 1)
+    qbase = jnp.array(qbase_list, jnp.int32)[axis]          # (nt,)
+    k_cl = jnp.clip(ks, 0, n_a[:, None] - 1)
+
+    return dict(
+        axis=axis, step=step, nt=nt, cs_b=cs_b, cs_c=cs_c, lo_b=lo_b,
+        lo_c=lo_c, n_a=n_a, n_b=n_b, n_c=n_c, qbase=qbase,
+        ob_lo=ob_lo, ob_hi=ob_hi, oc_lo=oc_lo, oc_hi=oc_hi,
+        db_lo=db_lo, db_hi=db_hi, dc_lo=dc_lo, dc_hi=dc_hi,
+        tl=tl, th=th, t_ok=t_ok, rect_okq=rect_okq, rect_ok=rect_ok,
+        b0q=b0q, b1q=b1q, b0=b0, b1=b1, ks=ks, k_cl=k_cl)
+
+
+def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
+          best_t, dims3, slab, any_hit, rmax=_RMAX):
+    """One slab's plan, DENSE slot form: per-tile frustum rect per
+    slice, turned into REF-level ranges via the rs tables (2 gathers
+    per rect row). Returns (range_start, range_count, thr_bits)
+    flattened over (tile, slice, rmax row slots + 1 tail slot);
+    thr_bits is the i32 bit pattern of the slice's tile-entry t (the
+    kernel's early-out threshold: no ref of the slot can hit earlier
+    than it). Cost scales with nt*S*(rmax+1) SLOTS, live or not — the
+    right trade for coherent waves (few live rows, tiny slot space);
+    incoherent waves use _plan_items2.
+    """
+    D = _plan_dense(per_ray, per_tile, cs_tab, n_tab, lo_tab, ka,
+                    best_t, dims3, slab, any_hit)
+    nt = D["nt"]
+    cs_b, cs_c = D["cs_b"], D["cs_c"]
+    lo_b, lo_c = D["lo_b"], D["lo_c"]
+    n_a, n_b, n_c = D["n_a"], D["n_b"], D["n_c"]
+    ob_lo, ob_hi = D["ob_lo"], D["ob_hi"]
+    oc_lo, oc_hi = D["oc_lo"], D["oc_hi"]
+    db_lo, db_hi = D["db_lo"], D["db_hi"]
+    dc_lo, dc_hi = D["dc_lo"], D["dc_hi"]
+    tl, th = D["tl"], D["th"]
+    rect_okq, rect_ok = D["rect_okq"], D["rect_ok"]
+    b0q, b1q, b0, b1 = D["b0q"], D["b1q"], D["b0"], D["b1"]
+    ks, k_cl = D["ks"], D["k_cl"]
+    qbase = D["qbase"]
+    ibig = jnp.int32(2 ** 20)
+
     # Per-ROW column trim (the big pair cut): the frustum sweeps
     # diagonally through the (row, col) cross-section, so a slice-wide
     # [c0, c1] rect overcovers every row. For each of the _RMAX row
@@ -776,15 +824,6 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     c0_r = jnp.where(row_any, c0_r, 0)
     c1_r = jnp.where(row_any, c1_r, -1)  # empty range when uncovered
 
-    # rs flat indexing: per-layout base offsets + per-tile strides.
-    qbase_list = []
-    off = 0
-    for a in range(3):
-        da_, db_, dc_ = dims3[a]
-        qbase_list.append(off)
-        off += da_ * db_ * (dc_ + 1)
-    qbase = jnp.array(qbase_list, jnp.int32)[axis]          # (nt,)
-
     def qidx(k, j, c):
         return (qbase[:, None, None]
                 + ((k[:, :, None] * n_b[:, None, None]
@@ -793,7 +832,6 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     # Per-row c-trimmed ranges + untrimmed multi-row tail.
     row_ok = (j_r <= b1[:, :, None]) & rect_ok[:, :, None] & row_any
     j_cl = jnp.minimum(j_r, n_b[:, None, None] - 1)
-    k_cl = jnp.clip(ks, 0, n_a[:, None] - 1)
     g1 = rs[qidx(k_cl, j_cl, c0_r)]
     g2 = rs[qidx(k_cl, j_cl, jnp.maximum(c1_r, 0) + 1)]
 
@@ -845,10 +883,253 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
         t_thr = jnp.min(jnp.where(rect_okq, tl, _BIG), axis=1)  # (nt,S)
         t_thr_r = jnp.min(jnp.where(row_okq, tj_lo, _BIG),
                           axis=1)                             # (nt,S,R)
-        thr = jax.lax.bitcast_convert_type(
-            jnp.concatenate([t_thr_r, t_thr[:, :, None]], axis=2),
-            jnp.int32)
+        t_all = jnp.concatenate([t_thr_r, t_thr[:, :, None]], axis=2)
+        # Threshold safety for shared boundary units: the running-max
+        # clamp above hands a later slot's first unit to an EARLIER
+        # slot's emission, so each slot's threshold must lower-bound
+        # every later valid slot of its slice whose refs it may carry
+        # — a suffix-min across the slot axis. No-op when tj_lo
+        # ascends with j (single-quarter/coherent tiles); mixed-sign
+        # tiles lose a few skips, never hits.
+        t_all = jnp.where(valid, t_all, _BIG)
+        t_all = jax.lax.cummin(t_all[:, :, ::-1], axis=2)[:, :, ::-1]
+        thr = jax.lax.bitcast_convert_type(t_all, jnp.int32)
     return lo_g.reshape(-1), cnt_g.reshape(-1), thr.reshape(-1)
+
+
+def _bits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _fbits(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
+                 best_t, dims3, slab, any_hit, rowcap, bcap, dead_idx):
+    """Compacted row-stream planner + unit packer (round 4).
+
+    The dense slot planner's gathers and item streams scale with
+    nt * S * (rmax + 1) SLOTS whether rows are live or not. Coherent
+    primaries live happily in that regime (tiny slot space, ~8% live),
+    but incoherent waves need BOTH many trimmed rows (tall rects — the
+    untrimmed tail carried most of their demand) and small tiles, which
+    inflate the dense slot space by two orders of magnitude. This path:
+
+    1. dense phase (_plan_dense): per-(tile, slice) rects — cheap
+       elementwise math, no gathers;
+    2. expands exactly the LIVE rect rows into a static row stream
+       (`rowcap` capacity, overflow-flagged) via scatter+cumsum;
+    3. gathers ONE packed 64-lane feature row per row item and derives
+       the per-quarter column trim for EVERY row (no untrimmed tail);
+    4. packs gather units block-by-block from the compact stream (the
+       roff/thr forward-fill scatters are rowcap-long instead of
+       slot-space-long).
+
+    Returns (gidx, tile_of, tminb, n_blocks, demand_units, row_ovf).
+    Slot order is (tile, slice-march, row-ascending), so consecutive
+    rows of one slice have ascending, disjoint ref spans (shared
+    boundary units are clamped away pairwise)."""
+    D = _plan_dense(per_ray, per_tile, cs_tab, n_tab, lo_tab, ka,
+                    best_t, dims3, slab, any_hit)
+    nt = D["nt"]
+    S = slab
+
+    nrows_d = jnp.where(D["rect_ok"], D["b1"] - D["b0"] + 1, 0)
+    counts = nrows_d.reshape(-1)                        # (nt*S,)
+    src, rank, valid_row, total_rows = expand_by_counts(counts, rowcap)
+    tile_i = src // S
+
+    # One packed feature table, gathered once per row item. Lanes:
+    #  0:4 tl_q | 4:8 th_q | 8:12 b0q^ | 12:16 b1q^ | 16 k_cl^
+    #  17 b0^ | 18 rbase^ (rs row base for (k_cl, j=0)) | 19 nc1^
+    #  20 cs_b | 21 lo_b | 22 icc (1/cs_c) | 23 lo_c | 24 ncm1^
+    #  32:36 ob_lo | 36:40 ob_hi | 40:44 db_lo | 44:48 db_hi
+    #  48:52 oc_lo | 52:56 oc_hi | 56:60 dc_lo | 60:64 dc_hi
+    # (^ = i32 bit pattern; quarter-bound lanes are per-tile values
+    # broadcast across slices so ONE gather serves everything.)
+    def t2s(v):  # (nt, SUB, S) -> (nt, S, SUB)
+        return jnp.swapaxes(v, 1, 2)
+
+    def bc(v):  # per-tile (nt,) or (nt, SUB) -> (nt, S, ...)
+        return jnp.broadcast_to(
+            v[:, None] if v.ndim == 1 else v[:, None, :],
+            (nt, S) + v.shape[1:])
+
+    nc1 = D["n_c"] + 1
+    rbase = (D["qbase"][:, None]
+             + D["k_cl"] * D["n_b"][:, None] * nc1[:, None])
+    fs = jnp.concatenate([
+        t2s(D["tl"]), t2s(D["th"]),
+        _fbits(t2s(D["b0q"])), _fbits(t2s(D["b1q"])),
+        _fbits(D["k_cl"])[:, :, None],
+        _fbits(D["b0"])[:, :, None],
+        _fbits(rbase)[:, :, None],
+        jnp.broadcast_to(_fbits(nc1)[:, None, None], (nt, S, 1)),
+        jnp.broadcast_to(D["cs_b"][:, None, None], (nt, S, 1)),
+        jnp.broadcast_to(D["lo_b"][:, None, None], (nt, S, 1)),
+        jnp.broadcast_to((1.0 / D["cs_c"])[:, None, None], (nt, S, 1)),
+        jnp.broadcast_to(D["lo_c"][:, None, None], (nt, S, 1)),
+        jnp.broadcast_to(_fbits(D["n_c"] - 1)[:, None, None],
+                         (nt, S, 1)),
+        jnp.zeros((nt, S, 7), jnp.float32),
+        bc(D["ob_lo"]), bc(D["ob_hi"]), bc(D["db_lo"]), bc(D["db_hi"]),
+        bc(D["oc_lo"]), bc(D["oc_hi"]), bc(D["dc_lo"]), bc(D["dc_hi"]),
+    ], axis=2).reshape(nt * S, 64)
+    F = fs[src]                                          # (rowcap, 64)
+
+    j = _bits(F[:, 17]) + rank                           # row index
+    wb0 = F[:, 21] + j.astype(jnp.float32) * F[:, 20]
+    wb1 = wb0 + F[:, 20]
+    icc = F[:, 22]
+    lo_c_r = F[:, 23]
+    ncl = _bits(F[:, 24])
+
+    c0 = jnp.full((rowcap,), 2 ** 20, jnp.int32)
+    c1 = jnp.full((rowcap,), -1, jnp.int32)
+    row_any = jnp.zeros((rowcap,), bool)
+    thr_t = jnp.full((rowcap,), _BIG, jnp.float32)
+    for qq in range(_SUB):
+        tlq = F[:, qq]
+        thq = F[:, 4 + qq]
+        b0qv = _bits(F[:, 8 + qq])
+        b1qv = _bits(F[:, 12 + qq])
+        oblo = F[:, 32 + qq]
+        obhi = F[:, 36 + qq]
+        dblo = F[:, 40 + qq]
+        dbhi = F[:, 44 + qq]
+        oclo = F[:, 48 + qq]
+        ochi = F[:, 52 + qq]
+        dclo = F[:, 56 + qq]
+        dchi = F[:, 60 + qq]
+        db_ok = (dblo > 1e-30) | (dbhi < -1e-30)
+        ia = 1.0 / jnp.where(db_ok, dblo, 1.0)
+        ib = 1.0 / jnp.where(db_ok, dbhi, 1.0)
+        nlo0 = wb0 - obhi
+        nhi0 = wb0 - oblo
+        nlo1 = wb1 - obhi
+        nhi1 = wb1 - oblo
+
+        def hull4(na, nb, ia=ia, ib=ib):
+            p0, p1 = na * ia, na * ib
+            p2, p3 = nb * ia, nb * ib
+            return (jnp.minimum(jnp.minimum(p0, p1),
+                                jnp.minimum(p2, p3)),
+                    jnp.maximum(jnp.maximum(p0, p1),
+                                jnp.maximum(p2, p3)))
+
+        e0_lo, e0_hi = hull4(nlo0, nhi0)
+        e1_lo, e1_hi = hull4(nlo1, nhi1)
+        tb_lo = jnp.minimum(e0_lo, e1_lo)
+        tb_hi = jnp.maximum(e0_hi, e1_hi)
+        tj_lo = jnp.where(db_ok, jnp.maximum(tlq, tb_lo), tlq)
+        tj_hi = jnp.where(db_ok, jnp.minimum(thq, tb_hi), thq)
+        okq = ((tlq <= thq) & (tj_lo <= tj_hi)
+               & (j >= b0qv) & (j <= b1qv))
+        x00 = tj_lo * dclo
+        x01 = tj_lo * dchi
+        x10 = tj_hi * dclo
+        x11 = tj_hi * dchi
+        vlo = oclo + jnp.minimum(jnp.minimum(x00, x01),
+                                 jnp.minimum(x10, x11))
+        vhi = ochi + jnp.maximum(jnp.maximum(x00, x01),
+                                 jnp.maximum(x10, x11))
+        c0q = jnp.clip(((vlo - lo_c_r) * icc).astype(jnp.int32), 0, ncl)
+        c1q = jnp.clip(((vhi - lo_c_r) * icc).astype(jnp.int32), 0, ncl)
+        c0 = jnp.minimum(c0, jnp.where(okq, c0q, 2 ** 20))
+        c1 = jnp.maximum(c1, jnp.where(okq, c1q, -1))
+        row_any = row_any | okq
+        thr_t = jnp.minimum(thr_t, jnp.where(okq, tj_lo, _BIG))
+
+    # rs span of the trimmed row (two gathers on the compact stream).
+    nc1_r = _bits(F[:, 19])
+    rbase_r = _bits(F[:, 18]) + j * nc1_r
+    safe0 = jnp.where(row_any, rbase_r + jnp.minimum(c0, ncl), 0)
+    safe1 = jnp.where(row_any, rbase_r + jnp.maximum(c1, 0) + 1, 0)
+    g1 = rs[safe0]
+    g2 = rs[safe1]
+
+    refs_u = _G * _U
+    lo_g = g1 // refs_u
+    hi_g = -(-g2 // refs_u)
+    valid = valid_row & row_any & (g2 > g1)
+    # Adjacent rows of one slice have ascending disjoint ref spans;
+    # their unit round-outs can only share the single boundary unit,
+    # clamped away pairwise (same argument as the dense planner's
+    # running-max, restricted to distance 1 because spans of rows
+    # r, r+2 can no longer touch after rounding out by < one unit).
+    hi_m = jnp.where(valid, hi_g, 0)
+    same_slot = jnp.concatenate(
+        [jnp.zeros((1,), bool), src[1:] == src[:-1]])
+    prev_hi = jnp.concatenate([jnp.zeros((1,), hi_m.dtype), hi_m[:-1]])
+    lo_g = jnp.where(same_slot, jnp.maximum(lo_g, prev_hi), lo_g)
+    cnt = jnp.where(valid, jnp.maximum(hi_g - lo_g, 0), 0)
+    if any_hit:
+        thr_row = jnp.full((rowcap,), _BIG_BITS - 1, jnp.int32)
+    else:
+        # Same threshold-safety suffix-min as the dense planner's
+        # (see _plan): a clamped row's boundary unit rides under an
+        # earlier row's emission, so thresholds must be non-increasing
+        # toward earlier rows of one slot. Segmented (per-src) reverse
+        # min-scan over the compact row stream.
+        v = jnp.where(valid, _bits(thr_t), jnp.int32(_BIG_BITS))
+        seg_last = jnp.concatenate(
+            [src[:-1] != src[1:], jnp.ones((1,), bool)])
+
+        def _segmin(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+
+        _, sfx = jax.lax.associative_scan(
+            _segmin, (seg_last[::-1], v[::-1]))
+        thr_row = sfx[::-1]
+
+    # ---- block packing from the compact stream ----
+    ex = jnp.cumsum(cnt) - cnt
+    rows_t = nrows_d.sum(1)                              # (nt,)
+    roff_t = jnp.cumsum(rows_t) - rows_t
+    last_i = jnp.clip(roff_t + rows_t - 1, 0, rowcap - 1)
+    first_i = jnp.clip(roff_t, 0, rowcap - 1)
+    tile_units = jnp.where(rows_t > 0,
+                           (ex + cnt)[last_i] - ex[first_i], 0)
+    tile_pad = -(-tile_units // _UPB) * _UPB
+    tile_base = jnp.cumsum(tile_pad) - tile_pad
+    demand = tile_base[-1] + tile_pad[-1]                # units
+
+    ii = jnp.arange(rowcap, dtype=jnp.int32)
+    isb = (ii == 0) | (tile_i != jnp.concatenate(
+        [tile_i[:1], tile_i[:-1]]))
+    # ex is non-decreasing, so the running max of boundary ex values
+    # is the CURRENT tile's first ex.
+    first_ex = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(isb, ex, 0))
+    roff = tile_base[tile_i] + (ex - first_ex)
+
+    ucap = bcap * _UPB
+    sr = lo_g - roff
+    d_sr = jnp.diff(sr, prepend=0)
+    d_thr = jnp.diff(thr_row, prepend=0)
+    sr_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
+        d_sr, mode="drop"))
+    thr_ff = jnp.cumsum(jnp.zeros((ucap,), jnp.int32).at[roff].add(
+        d_thr, mode="drop"))
+    tminb = thr_ff.reshape(bcap, _UPB).min(axis=1)
+
+    n_blocks = jnp.minimum(demand // _UPB, bcap)
+    bmark = jnp.zeros((bcap,), jnp.int32).at[tile_base // _UPB].add(
+        1, mode="drop")
+    btile = jnp.clip(jnp.cumsum(bmark) - 1, 0, nt - 1)
+    tile_of = jnp.where(jnp.arange(bcap) < n_blocks, btile, nt)
+    own_end = (tile_base + tile_units)[jnp.minimum(btile, nt - 1)]
+    slot = (jnp.arange(bcap, dtype=jnp.int32) * _UPB)[:, None] \
+        + jnp.arange(_UPB, dtype=jnp.int32)[None, :]
+    valid_u = slot < own_end[:, None]
+    gidx = jnp.where(valid_u, slot + sr_ff.reshape(bcap, _UPB),
+                     dead_idx)
+    row_ovf = total_rows > rowcap
+    return (gidx.reshape(-1), tile_of, tminb, n_blocks, demand,
+            row_ovf, total_rows)
 
 
 def _items(starts, counts, thr, nt, slab, bcap, dead_idx, rmax=_RMAX):
@@ -933,10 +1214,10 @@ def _merge(best, out_ext, tile_of):
 
 @functools.partial(jax.jit, static_argnames=(
     "dims3", "slab", "any_hit", "tile", "bcaps", "interpret", "dma",
-    "rmax"))
+    "rmax", "compact", "rowcaps"))
 def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
            dims3, slab, any_hit, tile, bcaps, interpret, dma=False,
-           rmax=_RMAX):
+           rmax=_RMAX, compact=False, rowcaps=None):
     nt = xp_ext.shape[0] // tile - 1
     cs_tab, n_tab, lo_tab = _tile_tabs(bbox_lo, bbox_hi, dims3)
     per_ray, per_tile = _precompute(xp_ext[:nt * tile], cs_tab, n_tab,
@@ -960,15 +1241,26 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
     dead_idx = cols_u.shape[0] - 1
     overflow = jnp.int32(0)
     demand_max = jnp.int32(0)              # peak per-round block demand
+    rows_max = jnp.int32(0)                # peak per-round live rows
     # bcaps: per-round static block budgets (measured round demands
     # decay fast — Sponza primaries 4493/2213/0 — and the items stage
     # costs O(bcap) whether blocks are live or not).
-    for bcap in bcaps:
-        starts, counts, thr = _plan(per_ray, per_tile, cs_tab, n_tab,
-                                    lo_tab, rs, ka, best[0], dims3,
-                                    slab, any_hit, rmax=rmax)
-        gidx, tile_of, tminb, n_blocks, demand = _items(
-            starts, counts, thr, nt, slab, bcap, dead_idx, rmax=rmax)
+    for ri, bcap in enumerate(bcaps):
+        if compact:
+            rowcap = rowcaps[ri]
+            gidx, tile_of, tminb, n_blocks, demand, row_ovf, nrow = \
+                _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab,
+                             rs, ka, best[0], dims3, slab, any_hit,
+                             rowcap, bcap, dead_idx)
+            overflow = overflow | row_ovf
+            rows_max = jnp.maximum(rows_max, nrow)
+        else:
+            starts, counts, thr = _plan(
+                per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
+                best[0], dims3, slab, any_hit, rmax=rmax)
+            gidx, tile_of, tminb, n_blocks, demand = _items(
+                starts, counts, thr, nt, slab, bcap, dead_idx,
+                rmax=rmax)
         overflow = overflow | (demand > bcap * _UPB)
         demand_max = jnp.maximum(demand_max, demand // _UPB)
         # Kernel seed row: current best per binned lane (dummy tile
@@ -1043,7 +1335,7 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
             best = jax.lax.cond(n_blocks > off, do_chunk,
                                 lambda b: b, best)
         ka = ka + step * slab
-    return best, overflow, demand_max
+    return best, overflow, jnp.stack([demand_max, rows_max])
 
 
 # ----------------------------------------------------------------------
@@ -1051,14 +1343,16 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
 # ----------------------------------------------------------------------
 
 def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
-                interpret: bool = False, tile: int = 512,
+                interpret: bool = False, tile: int | None = None,
                 slab: int | None = None, bmax: int | None = None,
                 return_overflow: bool = False,
                 coherent: bool = False,
                 return_demand: bool = False,
                 dma: bool | None = None,
                 fine_bins: bool | None = None,
-                rmax: int | None = None):
+                rmax: int | None = None,
+                compact: bool | None = None,
+                rowmax: int | None = None):
     """Trace rays against a PacketGrid with the planned-sweep kernel.
 
     The frame runs as one jitted computation with no host syncs. If a
@@ -1081,8 +1375,27 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         # (CPU tests) lacks Mosaic DMA, so it keeps the XLA gather.
         dma = not interpret
     da_max = max(d[0] for d in grid.dims3)
+    if compact is None:
+        # Incoherent waves have TALL rects (origins at every depth):
+        # with the dense planner, rows past the trimmed slots fall
+        # into an untrimmed multi-row tail that carries most of their
+        # demand (measured: Sponza AO 173.6k -> 62.6k blocks at
+        # rmax=16), but dense slot costs scale with rmax. The compact
+        # planner trims EVERY row at cost proportional to live rows.
+        compact = not coherent
+    if tile is None:
+        # Compact incoherent waves: measured on the Sponza AO wave
+        # (origin-major sorted, slab=8): tile 512 -> 16.1G pair-slots,
+        # 256 -> 11.7G (455 ms/wave), 128 -> 8.6G but 596 ms/wave
+        # (block/row overheads outgrow the pair cut). 256 is the knee.
+        tile = 256 if compact else 512
     if slab is None:
-        slab = da_max
+        # Compact waves re-plan between slabs with tightened t-caps
+        # (any-hit rays terminate fast; per-round budgets then shrink
+        # by the ladder below). Coherent closest-hit waves instead
+        # plan the whole grid once and rely on the in-kernel early-out
+        # (measured round 3: replanning saved nothing there).
+        slab = 8 if compact else da_max
     if fine_bins is None:
         # MEASURED OFF by default: on a Sponza AO wave the 24-group
         # minor-sign split RAISED block demand 173k -> 284k (and
@@ -1126,15 +1439,21 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
 
     bcaps = tuple(_cap(r) for r in range(max_rounds))
     if rmax is None:
-        # Incoherent waves have much TALLER rects (origins at every
-        # depth): rows past the trimmed slots fall into the untrimmed
-        # multi-row tail, which is where their demand concentrates, so
-        # they get more per-row trim slots by default.
-        rmax = _RMAX if coherent else 2 * _RMAX
+        rmax = _RMAX
+    if rowmax is None:
+        # Live trimmed rows per round (compact planner). Rows can
+        # outnumber units (rows that trim to empty still occupy
+        # expansion slots), so the default is a full unit budget's
+        # worth; calibrate with return_demand (which reports the true
+        # peak row count) to shrink it.
+        rowmax = bcaps[0] * _UPB
+    rowcaps = tuple(
+        max(4096, (-(-rowmax * b // bcaps[0]) // 8) * 8 + 8)
+        for b in bcaps) if compact else None
     best, overflow, demand = _frame(
         xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
         grid.planes, grid.dims3, slab, any_hit, tile, bcaps, interpret,
-        dma=dma, rmax=rmax)
+        dma=dma, rmax=rmax, compact=compact, rowcaps=rowcaps)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the
@@ -1154,6 +1473,8 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
     if return_overflow:
         out = out + (overflow,)
     if return_demand:
+        # i32[2]: [peak round block demand, peak round live rows]
+        # (rows only meaningful on the compact path; 0 otherwise).
         out = out + (demand,)
     return out if len(out) > 1 else hits
 

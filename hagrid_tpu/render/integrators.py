@@ -2,11 +2,14 @@
 
 The reference's app layer shades trivially (eye-light) and its benchmark
 generates AO/shadow secondary rays (SURVEY.md §3.5, BASELINE configs #2-4).
-Secondary waves go to the sweep tracer unsorted: its binning preserves
-caller order, which for camera-derived waves carries image-block origin
-locality (re-sorting by scene-space Morton measured +33% block demand),
-and masked-dead rays compact into skipped tiles. ops/sortrays remains
-for genuinely orderless waves (trace_sorted(sort=True)).
+Secondary waves are ORIGIN-MAJOR Morton-sorted before the sweep tracer
+(round 4, measured on a Sponza 1M-ray AO wave): the per-tile origin
+DEPTH spread is what blows up incoherent frusta, and a 10-bit
+origin-major sort cuts block demand 173.6k -> 103.7k dense / enables
+the compact planner's 41-59k. Octant-MAJOR (direction-first) sorting
+remains measured WORSE than caller order (+33% demand — it scatters
+tile origins); direction purity comes from the tracer's own (axis,
+sign) binning, which preserves the sorted order within groups.
 """
 
 from __future__ import annotations
@@ -32,19 +35,21 @@ def _spawn(p, n, d, t_near, t_far):
 
 
 def trace_sorted(session, rays: Rays, any_hit: bool = False,
-                 sort: bool = False, cal_key=None):
-    """Incoherent-wave entry point, optionally coherence-sorting first.
+                 sort: str | bool = "origin", cal_key=None):
+    """Incoherent-wave entry point with coherence sorting.
 
-    Measured twice, both against sorting: on the wavefront path gather
-    latency does not reward index locality (TPU v5e, Sponza AO wave,
-    262k rays), and on the sweep path a scene-space (octant, Morton)
-    reorder LOSES to the stable caller order the binning preserves
-    (+33% block demand — image-block origin locality is finer). Default
-    stays unsorted; sort=True serves waves with no inherited order."""
+    sort="origin" (default): 10-bit origin-major Morton sort — see the
+    module docstring for the measured rationale. sort="octant":
+    direction-octant-major (measured worse for camera-derived waves;
+    kept for waves with no origin locality). sort=False: raw caller
+    order."""
     if not sort:
         return session.trace(rays, any_hit=any_hit, cal_key=cal_key)
     grid = session.grid
-    sorted_rays, perm = sortrays.sort_rays(rays, grid.bbox_lo, grid.bbox_hi)
+    om = sort == "origin"
+    sorted_rays, perm = sortrays.sort_rays(
+        rays, grid.bbox_lo, grid.bbox_hi,
+        bits=10 if om else 7, origin_major=om)
     hits = session.trace(sorted_rays, any_hit=any_hit, cal_key=cal_key)
     return sortrays.unsort(hits, perm)
 

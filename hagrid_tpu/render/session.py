@@ -121,31 +121,44 @@ class RenderSession:
             return irregular.trace_irregular_fast(self.grid, rays,
                                                   any_hit=any_hit)
         key = (any_hit, coherent, rays.count, cal_key)
-        bmax = self._bmax_cal.get(key)
-        if bmax is None:
+        cal = self._bmax_cal.get(key)
+        if cal is None:
             _, _, demand = trace_sweep(
                 self.grid, rays, any_hit=any_hit, coherent=coherent,
                 return_overflow=True, return_demand=True)
             # Incoherent waves (AO/path bounces) vary frame to frame;
             # give them more slack than fixed-camera primaries.
             margin = 1.3 if (coherent and not any_hit) else 1.5
-            d = int(jax.device_get(demand))
+            dm = jax.device_get(demand)
+            d, rows = int(dm[0]), int(dm[1])
             # Quantize to 1024-block steps: distinct wave kinds with
             # similar demand then share one compiled frame (budgets are
             # static shapes; a fresh compile per cal_key would cost
-            # ~30s each on this backend).
+            # ~30s each on this backend). Incoherent waves get a much
+            # higher ceiling: their true demand is what round 3's
+            # fixed 24.6k cap silently dropped (AO occ 0.023 vs true
+            # 0.194); the compact planner makes big budgets cheap
+            # (items cost scales with live rows, not slot space), and
+            # the measured sorted Sponza AO demand is 59.4k blocks at
+            # tile=256.
+            cap = 24576 if coherent else 131072
             bmax = min(
-                24576, max(1024, -(-int(d * margin) // 1024) * 1024))
-            self._bmax_cal[key] = bmax
+                cap, max(1024, -(-int(d * margin) // 1024) * 1024))
+            # Row-stream capacity (compact planner; rows==0 on dense).
+            rowmax = (max(8192, -(-int(rows * margin) // 8192) * 8192)
+                      if rows else None)
+            cal = (bmax, rowmax)
+            self._bmax_cal[key] = cal
             # Fall through to a calibrated-budget trace: the budget is
             # a static shape, so the calibrated variant compiles HERE
             # (one-time, off any timed frame) — returning the generous
             # -budget hits instead would defer that compile into the
             # caller's first steady-state frame (measured as a 21 s
             # stall in the middle of the dynamic benchmark).
+        bmax, rowmax = cal
         hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
                                 coherent=coherent, bmax=bmax,
-                                return_overflow=True)
+                                rowmax=rowmax, return_overflow=True)
         self.trace_overflow = ovf if self.trace_overflow is None \
             else self.trace_overflow | ovf
         return hits

@@ -16,9 +16,9 @@ def test_calibrated_budget_matches_first_frame():
     rays = primary_rays(scenes.cornell_camera(), 64, 64, order="block")
 
     h1 = s.trace(rays, coherent=True)       # calibrating frame
-    key = (False, True, rays.count)
+    key = (False, True, rays.count, None)
     assert key in s._bmax_cal
-    bmax = s._bmax_cal[key]
+    bmax, rowmax = s._bmax_cal[key]
     assert bmax % 128 == 0 and bmax >= 256
 
     h2 = s.trace(rays, coherent=True)       # calibrated frame

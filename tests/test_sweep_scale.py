@@ -117,7 +117,8 @@ def test_any_hit_overflow_error_is_one_sided(scene):
     full, ovf_full, demand = trace_sweep(
         grid, sec, any_hit=True, bmax=8192, return_overflow=True,
         return_demand=True)
-    assert int(demand) > 128, "wave too small to starve at the floor"
+    assert int(demand[0]) > 128, \
+        "wave too small to starve at the floor"
     starved, ovf_st = trace_sweep(grid, sec, any_hit=True, bmax=128,
                                   return_overflow=True)
     assert not bool(ovf_full)
@@ -142,8 +143,8 @@ def test_block_budget_overflow_contract(scene):
     hits_ok, ovf_ok, demand = trace_sweep(
         grid, rays, coherent=True, bmax=2048, return_overflow=True,
         return_demand=True)
-    assert int(demand) > 128, \
-        f"demand {int(demand)} blocks too low to starve at the floor"
+    assert int(demand[0]) > 128, \
+        f"demand {int(demand[0])} blocks too low to starve at the floor"
     hits_sm, ovf_sm = trace_sweep(grid, rays, coherent=True, bmax=128,
                                   return_overflow=True)
     assert not bool(ovf_ok)
