@@ -93,6 +93,34 @@ def bench_primary(session, rays, w, h, iters, extra):
     return mrays
 
 
+def overflow_free(session, run, name, extra, retries=2):
+    """Run a workload's timing function, then poll the session's
+    accumulated overflow flag (one D2H sync, off the timed path). If any
+    timed wave outgrew its calibrated budget, poll_overflow drops the
+    calibrations, so a re-run re-probes each wave shape at the observed
+    (grown) demand — the recorded number is then from COMPLETE frames.
+    The reference never drops occluders (SURVEY §3.3 traverse_grid);
+    this is the benchmark-side contract that our numbers describe
+    complete frames too. Returns (value, final_overflow_flag)."""
+    value = run()
+    if session.structure != "packet":
+        return value, False
+    for _ in range(retries):
+        if not session.poll_overflow():      # also recalibrates if set
+            extra.setdefault("workload_overflow", {})[name] = False
+            return value, False
+        log(f"WARNING: {name} overflowed its calibrated budget; "
+            f"recalibrated — re-timing for a complete-frame number")
+        value = run()
+    ovf = session.poll_overflow(recalibrate=False)
+    if ovf:
+        log(f"WARNING: {name} still overflows after {retries} "
+            f"recalibrations; demand exceeds the memory cap "
+            f"(number describes incomplete frames)")
+    extra.setdefault("workload_overflow", {})[name] = bool(ovf)
+    return value, bool(ovf)
+
+
 def bench_ao(session, cam, w, h, iters):
     from hagrid_tpu.core.camera import primary_rays
     from hagrid_tpu.render import integrators
@@ -131,7 +159,7 @@ def bench_path(session, cam, w, h, iters):
     return mrays
 
 
-def bench_dynamic(session, v, f, rays, iters):
+def bench_dynamic(session, v, f, rays, iters, extra):
     from hagrid_tpu.render.dynamic import AnimatedScene
     from hagrid_tpu.render.session import RenderSession
 
@@ -152,15 +180,21 @@ def bench_dynamic(session, v, f, rays, iters):
         session.rebuild(scene_anim.frame(t))
         return session.trace(rays, coherent=True).t
 
+    def run():
+        t0 = time.perf_counter()
+        n_frames = max(3, iters)
+        outs = [frame(0.1 * (i + 1)) for i in range(n_frames)]
+        jax.block_until_ready(outs)
+        fps = n_frames / (time.perf_counter() - t0)
+        log(f"dynamic: {fps:.2f} fps (rebuild+trace per frame, "
+            f"{n_frames} frames one sync)")
+        return fps
+
     jax.block_until_ready(frame(0.0))  # compile
-    t0 = time.perf_counter()
-    n_frames = max(3, iters)
-    outs = [frame(0.1 * (i + 1)) for i in range(n_frames)]
-    jax.block_until_ready(outs)
-    fps = n_frames / (time.perf_counter() - t0)
-    log(f"dynamic: {fps:.2f} fps (rebuild+trace per frame, "
-        f"{n_frames} frames one sync)")
-    return fps
+    # Deforming geometry drifts the wave's block demand across frames;
+    # overflow_free polls the per-frame calibrated budgets and re-times
+    # with recalibrated (grown) budgets if any frame clipped.
+    return overflow_free(session, run, "dynamic", extra)
 
 
 def tpu_devices(retries=None, backoff_s=None):
@@ -266,19 +300,33 @@ def run():
     rays = jax.block_until_ready(jax.device_put(rays))
 
     workloads = {}
+    any_ovf = False
     run_all = args.workload == "all"
     if run_all or args.workload == "primary":
-        workloads["primary_mrays"] = round(
-            bench_primary(session, rays, w, h, iters, extra), 3)
+        val, ovf = overflow_free(
+            session,
+            lambda: bench_primary(session, rays, w, h, iters, extra),
+            "primary", extra)
+        workloads["primary_mrays"] = round(val, 3)
+        any_ovf |= ovf
     if run_all or args.workload == "ao":
-        workloads["ao_mrays"] = round(
-            bench_ao(session, cam, w, h, iters), 3)
+        val, ovf = overflow_free(
+            session, lambda: bench_ao(session, cam, w, h, iters),
+            "ao", extra)
+        workloads["ao_mrays"] = round(val, 3)
+        any_ovf |= ovf
     if run_all or args.workload == "path":
-        workloads["path_mrays_upper"] = round(
-            bench_path(session, cam, w, h, iters), 3)
+        val, ovf = overflow_free(
+            session, lambda: bench_path(session, cam, w, h, iters),
+            "path", extra)
+        workloads["path_mrays_upper"] = round(val, 3)
+        any_ovf |= ovf
     if run_all or args.workload == "dynamic":
-        workloads["dynamic_fps"] = round(
-            bench_dynamic(session, v, f, rays, iters), 3)
+        # bench_dynamic traces through its own session (motion-margin
+        # bbox); it polls and re-runs internally and returns its flag.
+        val, ovf = bench_dynamic(session, v, f, rays, iters, extra)
+        workloads["dynamic_fps"] = round(val, 3)
+        any_ovf |= ovf
     extra["workloads"] = workloads
 
     if args.workload in ("all", "primary"):
@@ -299,15 +347,15 @@ def run():
         # Deferred validity checks (the hot path never reads back).
         assert not bool(jax.device_get(session.grid.overflowed)), \
             "packet grid ref capacity overflowed; raise ref_capacity"
-        if session.trace_overflow is not None:
-            ovf = bool(jax.device_get(session.trace_overflow))
-            extra["trace_overflow"] = ovf
-            if ovf:
-                # Fully incoherent waves can exceed any fixed block
-                # budget; surplus blocks are dropped (some occluders may
-                # be missed). Reported, not hidden.
-                log("WARNING: sweep block budget overflowed during "
-                    "tracing; some far panels were dropped")
+        # OR of the per-workload FINAL flags (each workload polled its
+        # own flag and re-ran with recalibrated budgets on overflow —
+        # see overflow_free). True only when a wave's demand exceeded
+        # the memory cap even after growth: the recorded number then
+        # describes frames with dropped occluder panels.
+        extra["trace_overflow"] = bool(any_ovf)
+        if any_ovf:
+            log("WARNING: sweep block budget overflowed during "
+                "tracing; some far panels were dropped")
 
     print(json.dumps({
         "metric": metric,

@@ -27,6 +27,38 @@ from ..grid import irregular, packet, uniform
 from ..ops.sweep_trace import trace_sweep
 from ..utils.config import BuildParams
 
+# Hard ceiling on the calibrated sweep block budget, derived from
+# MEMORY, not silently from speed: the frame's per-round transient
+# arrays scale with the budget (gidx 64B/block, two ucap-wide
+# forward-fill cumsums 128B/block, tile_of/tminb 8B/block; the
+# per-round ladder sums to ~2.25x bmax), so 2^20 blocks costs ~400MB
+# transient HBM on a 16GB chip — affordable; 131072 (the round-4 cap
+# that the driver bench still overflowed) was not a real limit, just a
+# guess. Demand beyond this cap keeps the overflow flag set and warns.
+_BMAX_CAP = 1 << 20
+# Calibration refinement attempts before giving up (each step grows
+# budgets by >= the margin factor, so demand up to margin^N times the
+# first probe's reading converges; N=6 covers > 10x underestimates).
+_CAL_TRIES = 6
+
+
+def _rung(x: int, base: int) -> int:
+    """Round x up to base * {1, 1.5} * 2^k (1024 -> 1536 -> 2048 -> 3072
+    -> 4096 ...). Budgets are static shapes, so every distinct value is
+    a ~30s frame compile on this backend; a geometric ladder bounds the
+    distinct budgets per wave class to O(log demand) across calibration
+    growth steps AND across runs, at <= 33% budget slack (the items
+    stage costs O(budget), measured ~0.7us per 1k blocks — cheaper than
+    one extra compile amortized over any realistic frame count). Linear
+    1024-steps (round 4) made near-miss demands (57k vs 59k) compile
+    separately."""
+    u = max(1, -(-x // base))
+    k = max(0, (u - 1).bit_length() - 1)
+    for g in (1 << k, 3 << max(k - 1, 0), 2 << k, 3 << k):
+        if g >= u:
+            return g * base
+    return (4 << k) * base
+
 
 @dataclasses.dataclass
 class RenderSession:
@@ -123,38 +155,7 @@ class RenderSession:
         key = (any_hit, coherent, rays.count, cal_key)
         cal = self._bmax_cal.get(key)
         if cal is None:
-            _, _, demand = trace_sweep(
-                self.grid, rays, any_hit=any_hit, coherent=coherent,
-                return_overflow=True, return_demand=True)
-            # Incoherent waves (AO/path bounces) vary frame to frame;
-            # give them more slack than fixed-camera primaries.
-            margin = 1.3 if (coherent and not any_hit) else 1.5
-            dm = jax.device_get(demand)
-            d, rows = int(dm[0]), int(dm[1])
-            # Quantize to 1024-block steps: distinct wave kinds with
-            # similar demand then share one compiled frame (budgets are
-            # static shapes; a fresh compile per cal_key would cost
-            # ~30s each on this backend). Incoherent waves get a much
-            # higher ceiling: their true demand is what round 3's
-            # fixed 24.6k cap silently dropped (AO occ 0.023 vs true
-            # 0.194); the compact planner makes big budgets cheap
-            # (items cost scales with live rows, not slot space), and
-            # the measured sorted Sponza AO demand is 59.4k blocks at
-            # tile=256.
-            cap = 24576 if coherent else 131072
-            bmax = min(
-                cap, max(1024, -(-int(d * margin) // 1024) * 1024))
-            # Row-stream capacity (compact planner; rows==0 on dense).
-            rowmax = (max(8192, -(-int(rows * margin) // 8192) * 8192)
-                      if rows else None)
-            cal = (bmax, rowmax)
-            self._bmax_cal[key] = cal
-            # Fall through to a calibrated-budget trace: the budget is
-            # a static shape, so the calibrated variant compiles HERE
-            # (one-time, off any timed frame) — returning the generous
-            # -budget hits instead would defer that compile into the
-            # caller's first steady-state frame (measured as a 21 s
-            # stall in the middle of the dynamic benchmark).
+            cal = self._calibrate(key, rays, any_hit, coherent)
         bmax, rowmax = cal
         hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
                                 coherent=coherent, bmax=bmax,
@@ -162,6 +163,83 @@ class RenderSession:
         self.trace_overflow = ovf if self.trace_overflow is None \
             else self.trace_overflow | ovf
         return hits
+
+    def _calibrate(self, key, rays: Rays, any_hit: bool, coherent: bool):
+        """Demand calibration, run once per wave shape OFF any timed
+        frame (each probe costs one D2H sync). Converges to budgets the
+        wave COMPLETES under: the probe reads the true (unclamped) peak
+        block demand and live-row count, budgets are set to
+        demand * margin, and the trace is re-probed until its own
+        overflow flag is CLEAR — a truncated first probe (row-stream
+        overflow underestimates demand) or a peak round that lands on a
+        reduced rung of the per-round budget ladder both just trigger
+        another growth step. Round 4 set budgets from one probe and
+        discarded the verification; the driver bench shipped with
+        trace_overflow=true because of exactly the ladder case.
+
+        Intermediate probes' overflow flags are deliberately NOT folded
+        into self.trace_overflow: their dropped work never reaches
+        returned hits (callers get the final, verified trace). The final
+        probe's flag (clear, unless demand exceeds _BMAX_CAP) is folded
+        by trace()."""
+        # Incoherent waves (AO/path bounces) vary frame to frame; give
+        # them more slack than fixed-camera primaries. Both margins
+        # exceed the steepest round-ladder step they must cover once
+        # the retry loop has seen the true peak round demand.
+        margin = 1.3 if (coherent and not any_hit) else 1.5
+        bmax = rowmax = None            # first probe: generous defaults
+        for attempt in range(_CAL_TRIES):
+            _, ovf, demand = trace_sweep(
+                self.grid, rays, any_hit=any_hit, coherent=coherent,
+                bmax=bmax, rowmax=rowmax,
+                return_overflow=True, return_demand=True)
+            ovf_h, dm = jax.device_get((ovf, demand))
+            d, rows = int(dm[0]), int(dm[1])
+            # Quantize to geometric rungs (see _rung): wave kinds with
+            # similar demand share one compiled frame, and budgets stay
+            # log-bounded in number across growth steps.
+            want_b = _rung(int(d * margin), 1024)
+            want_r = _rung(int(rows * margin), 8192) if rows else None
+            if bmax is not None and not bool(ovf_h):
+                # Wave completed under the current budgets. Keep them
+                # unless they are grossly oversized (> 2 growth steps
+                # above what the verified demand asks for) — the items
+                # stage costs O(budget) every frame.
+                if bmax <= max(want_b * 2, 2048):
+                    break
+                bmax, rowmax = want_b, want_r
+                continue
+            grow_b = max(want_b, _rung(int((bmax or 0) * 3 // 2), 1024))
+            if grow_b > _BMAX_CAP:
+                import sys
+                print(f"WARNING: sweep demand ({d} blocks) needs a "
+                      f"budget beyond the {_BMAX_CAP}-block memory cap;"
+                      f" wave will trace incomplete (flagged)",
+                      file=sys.stderr)
+                bmax, rowmax = _BMAX_CAP, want_r
+                break
+            bmax, rowmax = grow_b, want_r
+        cal = (bmax, rowmax)
+        self._bmax_cal[key] = cal
+        return cal
+
+    def poll_overflow(self, recalibrate: bool = True) -> bool:
+        """Read the accumulated overflow flag (ONE host sync — call at
+        frame boundaries, never on the timed path). If any steady-state
+        wave outgrew its calibrated budget and recalibrate=True, drop
+        all calibrations so the next trace of each wave shape re-probes
+        at the (grown) demand — the production adapt-after-overflow
+        mechanism for waves whose demand drifts frame to frame. Returns
+        the flag; the caller decides whether to re-trace the tainted
+        frame (bench re-runs it; an interactive viewer would just let
+        the next frame be complete)."""
+        if self.trace_overflow is None:
+            return False
+        ovf = bool(jax.device_get(self.trace_overflow))
+        if ovf and recalibrate:
+            self._bmax_cal.clear()
+            self.trace_overflow = None
+        return ovf
 
     def describe(self) -> str:
         if self.structure == "uniform":

@@ -20,3 +20,11 @@ import jax  # noqa: E402
 # The session may ship a platform plugin that overrides JAX_PLATFORMS (the
 # tunneled "axon" TPU registers itself as default); config.update wins.
 jax.config.update("jax_platforms", _plat)
+
+# Persistent compilation cache: CPU compiles of the whole-frame sweep
+# tracer run 30-90s each and dominate suite wall time; with the cache
+# only the first-ever run pays them. Same dir as bench/CLI (entries are
+# keyed by platform + HLO, so CPU and TPU artifacts coexist).
+from hagrid_tpu.utils import cache  # noqa: E402
+
+cache.enable()
