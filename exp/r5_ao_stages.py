@@ -122,7 +122,8 @@ def stage(org, dir, tmin, tmax, upto):
     for ri, bcap in enumerate(BCAPS):
         gidx, tile_of, tminb, n_blocks, demand, row_ovf, nrow = \
             st._plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab,
-                            grid.rs, ka, best[0], grid.dims3, SLAB,
+                            grid.rs, grid.rowinfo, ka, best[0],
+                            grid.dims3, SLAB,
                             True, ROWCAPS[ri], bcap, dead_idx)
         if upto == 1:
             acc += demand + nrow

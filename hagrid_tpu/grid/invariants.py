@@ -139,25 +139,36 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
     n_tris = grid.tris.count
     rng = np.random.default_rng(seed)
 
-    qoff = 0
+    rs_flat = np.asarray(grid.rs)
+    rowinfo = np.asarray(grid.rowinfo)
+    rbase = 0
     for a in range(3):
         da, db, dc = grid.dims3[a]
         nrows = da * db
-        size = nrows * (dc + 1)
-        rs = np.asarray(grid.rs[qoff:qoff + size]).reshape(
-            nrows, dc + 1) - a * r_cap
-        qoff += size
+        ri = rowinfo[rbase:rbase + nrows]
+        rbase += nrows
+        row_off = ri & 0x0FFFFFFF
+        m_row = 1 << (ri >> 28)
+        nc_row = m_row * dc
 
-        # 1: structure of the ref map.
-        assert rs[0, 0] == 0 and np.all(rs >= 0) and np.all(rs <= r_cap)
-        assert np.all(np.diff(rs, axis=1) >= 0), \
-            f"layout {a}: rs not monotone within rows"
-        assert np.all(rs[1:, 0] == rs[:-1, -1]), \
+        # 1: structure of the ragged ref map (per-row refined columns):
+        # each row's table is monotone, rows are contiguous, values
+        # layout-offset aligned within capacity.
+        ends = row_off + nc_row
+        first = rs_flat[row_off] - a * r_cap
+        last = rs_flat[ends] - a * r_cap
+        assert first[0] == 0 and np.all(first >= 0) \
+            and np.all(last <= r_cap)
+        assert np.all(first[1:] == last[:-1]), \
             f"layout {a}: row spans not contiguous"
+        for r in range(nrows):
+            seg = rs_flat[row_off[r]:ends[r] + 1] - a * r_cap
+            assert np.all(np.diff(seg) >= 0), \
+                f"layout {a}: rs not monotone within row {r}"
 
         # 2: live spans carry valid ids.
         ids = ids_all[a * r_cap:(a + 1) * r_cap]
-        total = int(rs[-1, -1])
+        total = int(last[-1])
         assert np.all(ids[:total] >= 0) and np.all(ids[:total] < n_tris)
 
         # 3: sampled completeness vs recomputed voxel ranges. The build
@@ -204,15 +215,33 @@ def check_packet(grid, sample_tris: int | None = 4096, seed: int = 0):
                     if not m.any():
                         continue
                     r = k * db + j
-                    # Column-trimmed membership: the tracer gathers
-                    # ids[rs[r, c0]:rs[r, c1 + 1]], so the tri must sit
-                    # in each overlapping COLUMN's span, not merely
-                    # somewhere in the row (ADVICE r2 #5).
+                    # Column-trimmed membership at FINE granularity:
+                    # the tracer gathers ids[rs[off+c0]:rs[off+c1+1]]
+                    # over the row's refined columns, so the tri must
+                    # sit in every fine column its c-extent covers
+                    # within each SAT-positive base cell (the build's
+                    # bbox-conservative fine binning, grid/packet.py).
+                    mr = int(m_row[r])
+                    ro = int(row_off[r])
+                    tcmin = min(v0h[t, a2], v1h[t, a2], v2h[t, a2])
+                    tcmax = max(v0h[t, a2], v1h[t, a2], v2h[t, a2])
+                    # f32 arithmetic, matching the build's fine-span
+                    # computation bit-exactly (boundary cells).
+                    icf = np.float32(mr) / cs[a2]
                     for c in ccols[m]:
-                        key = (r, int(c))
-                        if key not in row_sets:
-                            row_sets[key] = set(
-                                ids[rs[r, c]:rs[r, c + 1]].tolist())
-                        assert int(t) in row_sets[key], \
-                            f"layout {a}: tri {t} missing from row {r} " \
-                            f"column {c}"
+                        fl = int(np.clip(
+                            np.floor((tcmin - blo[a2]) * icf),
+                            c * mr, c * mr + mr - 1))
+                        fh = int(np.clip(
+                            np.floor((tcmax - blo[a2]) * icf),
+                            fl, c * mr + mr - 1))
+                        for fc in range(fl, fh + 1):
+                            key = (r, fc)
+                            if key not in row_sets:
+                                row_sets[key] = set(
+                                    ids[rs_flat[ro + fc] - a * r_cap:
+                                        rs_flat[ro + fc + 1] - a * r_cap
+                                        ].tolist())
+                            assert int(t) in row_sets[key], \
+                                f"layout {a}: tri {t} missing from " \
+                                f"row {r} fine column {fc}"

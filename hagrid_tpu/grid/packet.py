@@ -19,11 +19,33 @@ consumes:
   linear index (va * Db + vb) * Dc + vc with (b, c) = ((a+1)%3, (a+2)%3),
   c fastest. A slice-rect row of cells, and therefore its refs, is then a
   contiguous run — one DMA each.
-- `rs` i32[sum_a Da*Db*(Dc+1)]: flattened per-layout tables mapping
-  (k, j, c) to the absolute row (into `cols`) of the first ref of grid
-  row (k, j) at column >= c (layout offset a*R_cap folded into the
-  value). A frustum rect's refs in row (k, j) are the contiguous span
-  [rs[k,j,c0], rs[k,j,c1+1]).
+- `rs` i32[RS_cap]: RAGGED per-row column tables mapping (row, c) to
+  the absolute ref index (into `cols`) of the first ref of the row at
+  fine column >= c (layout offset a*R_cap folded into the value). A
+  frustum rect's refs in a row are the contiguous span
+  [rs[off + c0], rs[off + c1 + 1]) where `off` is the row's entry in
+  `rowinfo`. Rows are ragged because of PER-ROW COLUMN REFINEMENT
+  (round 5 — the packet analog of the reference's per-cell second
+  level, src/build.cu): each (k, j) row subdivides its Dc base columns
+  by m in {1, 2, 4} chosen from the row's post-SAT ref count (the
+  densest 1/8 of rows by rank get m=4, the next 1/4 m=2, gated on an
+  absolute refs-per-cell need), so dense rows get finer column spans
+  — the frustum's column window rounds out to a fine cell instead of
+  a fat base cell. Refs straddling fine-cell boundaries duplicate
+  (bbox-conservative), growing `cols`.
+  MEASURED AND DEFAULT-OFF (round 5, TPU v5e, sponza_like 331k): the
+  duplication beats the window gains on this grid design — primary
+  demand cut 1.04x (18.5 -> 18.7 Mrays/s, noise), AO wave demand
+  0.78x (i.e. GREW 1.28x; 2.36 -> 2.00 Mrays/s), refs inflate 1.66x.
+  Dense rows are dense along the row too, so a tighter column window
+  still spans the same clutter while every straddling ref now costs
+  two gathered slots. Kept gated behind build_packet(refine=True)
+  (tested: tests/test_packet.py::test_refined_columns_union) — the
+  same ragged rs/rowinfo plumbing is what a future per-row SAH split
+  would ride.
+- `rowinfo` i32[sum_a Da*Db]: per-row packed (rs_offset | log2(m)<<28);
+  the planners gather it once per rect row to locate and scale the
+  row's column table.
 - `cols` f32[3*R_cap/6 + 8, 128]: GROUP rows of 6 consecutive per-ref
   PRECOMPUTED intersection rows (20 floats each = 120 lanes + 8 zero
   pad). 6-ref groups are the tracer's gather granularity: a 128-lane
@@ -58,7 +80,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import Triangles
-from ..ops.segment import segment_starts, sort_pairs
+from ..ops.segment import expand_by_counts, segment_starts, sort_pairs
 from ..utils.config import density_dims
 from .uniform import tri_box_overlap, tri_voxel_ranges
 
@@ -94,6 +116,10 @@ class PacketGrid:
     total_pairs: jnp.ndarray  # i32[]: max pre-SAT (tri, cell) pairs --
     #                           the capacity-bound quantity
     tris: Triangles
+    # Per-row packed (rs offset | log2(column multiplier) << 28) —
+    # see module docstring. Uniform (refine=False) grids carry m=1
+    # rows; the planners read rowinfo unconditionally.
+    rowinfo: jnp.ndarray
     # Slice planes: planes[a, k] = k-th slice boundary of layout a
     # along its major axis, k = 0..Da (padded by repeating the last
     # boundary to the widest layout). Uniform by default; build_packet
@@ -178,9 +204,9 @@ def _slice_planes(tlo3, thi3, bbox_lo, bbox_hi, dims3, adaptive):
 
 
 @functools.partial(jax.jit, static_argnames=("dims3", "ref_capacity",
-                                             "adaptive"))
+                                             "adaptive", "refine"))
 def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
-           adaptive=True):
+           adaptive=True, refine=False):
     """Bin tris into each layout's (independent) grid and emit the
     sweep-tracer tables (rs spans + cols MT rows)."""
     n1 = max(tris.count, 1)
@@ -232,9 +258,11 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
          jnp.zeros((n1, 6), jnp.float32)], axis=1)
 
     rs_parts = []
+    rowinfo_parts = []
     cols_parts = []
     totals = []
     reals = []
+    rs_base = 0
     for axis in range(3):
         a, b, c = _axis_order(axis)
         da, db, dc = dims3[axis]
@@ -306,21 +334,87 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
                               tv0 + tvk[:, 6:9],
                               cell_lo, cell_hi)
         keep = valid & sat
-        key = (v[:, a] * db + v[:, b]) * dc + v[:, c]
-        key = jnp.where(keep, key, num_cells)
-        skeys, srefs = sort_pairs(key, jnp.where(keep, tri_idx, 0))
-        starts = segment_starts(skeys, num_cells)  # i32[C+1]
-        live = jnp.arange(ref_capacity) < starts[num_cells]
-
-        # rs spans: row (k, j)'s boundary at column c is starts[(k*db
-        # + j)*dc + c]; the extra column closes each row at the next
-        # row's start (monotonicity of the sorted keys).
         nrows = da * db
-        row_start = starts[::dc]                      # i32[nrows + 1]
-        s_log = jnp.concatenate(
-            [starts[:num_cells].reshape(nrows, dc),
-             row_start[1:, None]], axis=1)            # i32[nrows, dc+1]
-        rs_parts.append((s_log + axis * ref_capacity).reshape(-1))
+        rowk = jnp.where(keep, v[:, a] * db + v[:, b], 0)
+
+        # Per-row column multiplier m in {1, 2, 4} (module docstring):
+        # rank-exact fractions keep the fine-cell count STATIC (the
+        # densest nrows//8 rows by post-SAT ref count get m=4, the next
+        # nrows//4 m=2), gated on an absolute refs-per-base-cell need
+        # so sparse scenes don't refine rows that gain nothing.
+        n4 = nrows // 8 if refine else 0
+        n2 = nrows // 4 if refine else 0
+        if refine:
+            rcnt = jnp.zeros((nrows,), jnp.int32).at[rowk].add(
+                keep.astype(jnp.int32))
+            _, order = sort_pairs(-rcnt, jnp.arange(nrows, dtype=jnp.int32))
+            rank_of = jnp.zeros((nrows,), jnp.int32).at[order].set(
+                jnp.arange(nrows, dtype=jnp.int32))
+            m_rank = jnp.where(rank_of < n4, 4,
+                               jnp.where(rank_of < n4 + n2, 2, 1))
+            m_need = jnp.where(rcnt >= 6 * dc, 4,
+                               jnp.where(rcnt >= 2 * dc, 2, 1))
+            m = jnp.minimum(m_rank, m_need)
+        else:
+            m = jnp.ones((nrows,), jnp.int32)
+        cells_cap = dc * (4 * n4 + 2 * n2 + (nrows - n4 - n2))
+        nc_row = m * dc
+        cell_off = jnp.cumsum(nc_row) - nc_row        # i32[nrows]
+
+        # Fine column span of each base pair from the tri's c-extent
+        # (already on hand in tvk — no new gather; bbox-conservative,
+        # the SAT prune stays at base resolution).
+        mg = m[rowk]
+        v0c = tvk[:, c]
+        c1v = v0c + tvk[:, 3 + c]
+        c2v = v0c + tvk[:, 6 + c]
+        tminc = jnp.minimum(v0c, jnp.minimum(c1v, c2v))
+        tmaxc = jnp.maximum(v0c, jnp.maximum(c1v, c2v))
+        mgf = mg.astype(jnp.float32)
+        icsf = mgf / csx[c]
+        base0 = v[:, c] * mg
+        f_lo = jnp.clip(((tminc - bbox_lo[c]) * icsf).astype(jnp.int32),
+                        base0, base0 + mg - 1)
+        f_hi = jnp.clip(((tmaxc - bbox_lo[c]) * icsf).astype(jnp.int32),
+                        f_lo, base0 + mg - 1)
+        fcnt = jnp.where(keep, f_hi - f_lo + 1, 0)
+
+        # Expand base pairs into fine pairs (per-pair int fields ride
+        # the same delta-scatter+cumsum forward fill as the base
+        # expansion; ONE sort per layout, now over fine keys — the
+        # base-key sort is gone).
+        foffsets = jnp.cumsum(fcnt) - fcnt
+        ftotal = foffsets[-1] + fcnt[-1]
+        _, rank2, valid2, _ = expand_by_counts(fcnt, ref_capacity)
+
+        def ff2(p, foffsets=foffsets):
+            d = jnp.diff(p, prepend=jnp.zeros((1,), p.dtype))
+            return jnp.cumsum(jnp.zeros(
+                (ref_capacity,), jnp.int32).at[foffsets].add(
+                    d, mode="drop"))
+
+        fstart = cell_off[rowk] + f_lo               # per base pair
+        fkey = jnp.where(valid2, ff2(fstart) + rank2, cells_cap)
+        skeys, srefs = sort_pairs(fkey, ff2(tri_idx))
+        starts = segment_starts(skeys, cells_cap)    # i32[cells_cap+1]
+        live = jnp.arange(ref_capacity) < starts[cells_cap]
+
+        # Ragged rs emission: row r's column table occupies
+        # [row_off[r], row_off[r] + nc_row[r]] (incl. the closing
+        # entry, which equals the next row's first start).
+        rs_cap_ax = cells_cap + nrows
+        row_off = jnp.cumsum(nc_row + 1) - (nc_row + 1)
+        _, rankR, validR, _ = expand_by_counts(nc_row + 1, rs_cap_ax)
+        d_co = jnp.diff(cell_off, prepend=jnp.zeros((1,), jnp.int32))
+        co_ff = jnp.cumsum(jnp.zeros((rs_cap_ax,), jnp.int32).at[
+            row_off].add(d_co, mode="drop"))
+        cell_idx = jnp.clip(co_ff + rankR, 0, cells_cap)
+        rs_parts.append(jnp.where(validR, starts[cell_idx],
+                                  starts[cells_cap])
+                        + axis * ref_capacity)
+        lg = jnp.where(m == 4, 2, jnp.where(m == 2, 1, 0))
+        rowinfo_parts.append((row_off + rs_base) | (lg << 28))
+        rs_base += rs_cap_ax
         # Per-ref rows: ONE row gather from tri_t, then the precomputed
         # linear-form coefficients (module docstring) derived
         # elementwise — no extra gather.
@@ -337,12 +431,15 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             ref_capacity // REF_GROUP, MT_COLS * REF_GROUP)
         cols_parts.append(jnp.pad(
             grp, ((0, 0), (0, GROUP_LANES - MT_COLS * REF_GROUP))))
-        totals.append(total)              # AABB pairs (capacity bound)
-        reals.append(starts[num_cells])   # SAT-surviving refs
+        # Capacity bound: BOTH the base AABB pair expansion and the
+        # fine-column expansion stream through ref_capacity slots.
+        totals.append(jnp.maximum(total, ftotal))
+        reals.append(starts[cells_cap])   # SAT-surviving fine refs
     rs_all = jnp.concatenate(rs_parts)
+    rowinfo_all = jnp.concatenate(rowinfo_parts)
     cols_all = jnp.concatenate(
         cols_parts + [jnp.zeros((DEAD_ROWS, GROUP_LANES), jnp.float32)])
-    return (rs_all, cols_all,
+    return (rs_all, rowinfo_all, cols_all,
             jnp.max(jnp.stack(totals)), jnp.max(jnp.stack(reals)),
             planes)
 
@@ -353,7 +450,8 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                  dims: tuple | None = None,
                  dims3: tuple | None = None,
                  bbox=None, check: bool = True,
-                 adaptive: bool = False) -> PacketGrid:
+                 adaptive: bool = False,
+                 refine: bool = False) -> PacketGrid:
     """Host wrapper: static dims/capacity from the density heuristic,
     retry on overflow (same capacity policy as the other builders).
 
@@ -376,10 +474,12 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
                          "(voxel coords ride packed in 10-bit fields)")
     if tris.count == 0:
         d3 = ((1, 1, 1),) * 3
-        # Empty rows: rs spans all empty (every boundary 0).
+        # Empty rows: rs spans all empty (every boundary 0). One row
+        # per layout, m=1: rowinfo = layout rs bases (2 slots each).
         return PacketGrid(dims3=d3, bbox_lo=jnp.zeros(3, jnp.float32),
                           bbox_hi=jnp.ones(3, jnp.float32),
                           rs=jnp.zeros((6,), jnp.int32),
+                          rowinfo=jnp.array([0, 2, 4], jnp.int32),
                           cols=jnp.zeros(
                               (3 * 768 // REF_GROUP + DEAD_ROWS,
                                GROUP_LANES), jnp.float32),
@@ -411,6 +511,14 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
         dims3 = tuple(
             (dims[a], dims[(a + 1) % 3], dims[(a + 2) % 3])
             for a in range(3))
+    rs_total = sum(da * db + dc * (da * db // 8 * 4 + da * db // 4 * 2
+                                   + da * db - da * db // 8
+                                   - da * db // 4)
+                   for (da, db, dc) in dims3) if refine else \
+        sum(da * db * (dc + 1) for (da, db, dc) in dims3)
+    if rs_total >= (1 << 28):
+        raise ValueError("rs table too large for rowinfo's 28-bit "
+                         "offsets; reduce grid dims")
     if ref_capacity is None:
         ref_capacity = max(1536, int(tris.count * 2))
     # Round to 768 = lcm(block refs 6*128, unit refs 48): per-layout
@@ -419,9 +527,9 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
     bbox_lo = jnp.asarray(lo, jnp.float32)
     bbox_hi = jnp.asarray(hi, jnp.float32)
     while True:
-        rs, cols, pairs, total, planes = _build(
+        rs, rowinfo, cols, pairs, total, planes = _build(
             tris, bbox_lo, bbox_hi, dims3, ref_capacity,
-            adaptive=adaptive)
+            adaptive=adaptive, refine=refine)
         if not check:
             break
         t = int(jax.device_get(pairs))
@@ -429,6 +537,6 @@ def build_packet(tris: Triangles, cross_density: float = 0.4,
             break
         ref_capacity = -(-int(t * 1.25) // 768) * 768
     return PacketGrid(dims3=dims3, bbox_lo=bbox_lo, bbox_hi=bbox_hi,
-                      rs=rs, cols=cols,
+                      rs=rs, rowinfo=rowinfo, cols=cols,
                       total_refs=total, total_pairs=pairs, tris=tris,
                       planes=planes)

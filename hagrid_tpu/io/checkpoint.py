@@ -17,7 +17,7 @@ from ..grid.irregular import IrregularGrid
 from ..grid.packet import PacketGrid
 from ..grid.uniform import UniformGrid
 
-_PACKET_FIELDS = ("bbox_lo", "bbox_hi", "rs", "cols",
+_PACKET_FIELDS = ("bbox_lo", "bbox_hi", "rs", "rowinfo", "cols",
                   "total_refs", "total_pairs", "planes")
 
 

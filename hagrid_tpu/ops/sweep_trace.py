@@ -707,13 +707,15 @@ def _plan_dense(per_ray, per_tile, cs_tab, n_tab, lo_tab, ka,
     b0 = jnp.where(rect_ok, b0, 0)
     b1 = jnp.where(rect_ok, b1, 0)
 
-    # rs flat indexing: per-layout base offsets + per-tile strides.
+    # rowinfo flat indexing: per-layout row-index base + per-tile
+    # strides (the rs offsets themselves live IN rowinfo — rows are
+    # ragged under per-row column refinement, grid/packet.py).
     qbase_list = []
     off = 0
     for a in range(3):
-        da_, db_, dc_ = dims3[a]
+        da_, db_, _ = dims3[a]
         qbase_list.append(off)
-        off += da_ * db_ * (dc_ + 1)
+        off += da_ * db_
     qbase = jnp.array(qbase_list, jnp.int32)[axis]          # (nt,)
     k_cl = jnp.clip(ks, 0, n_a[:, None] - 1)
 
@@ -726,7 +728,7 @@ def _plan_dense(per_ray, per_tile, cs_tab, n_tab, lo_tab, ka,
         b0q=b0q, b1q=b1q, b0=b0, b1=b1, ks=ks, k_cl=k_cl)
 
 
-def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
+def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, rowinfo, ka,
           best_t, dims3, slab, any_hit, rmax=_RMAX):
     """One slab's plan, DENSE slot form: per-tile frustum rect per
     slice, turned into REF-level ranges via the rs tables (2 gathers
@@ -813,9 +815,17 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
         jnp.minimum(x00, x01), jnp.minimum(x10, x11))
     vhi = oc_hi[:, :, None, None] + jnp.maximum(
         jnp.maximum(x00, x01), jnp.maximum(x10, x11))
-    ics = (1.0 / cs_c)[:, None, None, None]
+    # Per-row rowinfo (ragged rs offset + column multiplier — the
+    # per-row refinement of grid/packet.py): one (nt, S, R) gather.
+    j_cl = jnp.minimum(j_r, n_b[:, None, None] - 1)
+    ri = rowinfo[qbase[:, None, None]
+                 + k_cl[:, :, None] * n_b[:, None, None] + j_cl]
+    roff = ri & 0x0FFFFFFF
+    lgm = (ri >> 28)[:, None, :, :]                         # (nt,1,S,R)
+    ics = (1.0 / cs_c)[:, None, None, None] * jnp.exp2(
+        lgm.astype(jnp.float32))
     lo4 = lo_c[:, None, None, None]
-    ncl = n_c[:, None, None, None] - 1
+    ncl = (n_c[:, None, None, None] << lgm) - 1
     c0q_r = jnp.clip(((vlo - lo4) * ics).astype(jnp.int32), 0, ncl)
     c1q_r = jnp.clip(((vhi - lo4) * ics).astype(jnp.int32), 0, ncl)
     c0_r = jnp.min(jnp.where(row_okq, c0q_r, ibig), axis=1)  # (nt,S,R)
@@ -824,23 +834,17 @@ def _plan(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     c0_r = jnp.where(row_any, c0_r, 0)
     c1_r = jnp.where(row_any, c1_r, -1)  # empty range when uncovered
 
-    def qidx(k, j, c):
-        return (qbase[:, None, None]
-                + ((k[:, :, None] * n_b[:, None, None]
-                    + j) * (n_c[:, None, None] + 1) + c))
-
     # Per-row c-trimmed ranges + untrimmed multi-row tail.
     row_ok = (j_r <= b1[:, :, None]) & rect_ok[:, :, None] & row_any
-    j_cl = jnp.minimum(j_r, n_b[:, None, None] - 1)
-    g1 = rs[qidx(k_cl, j_cl, c0_r)]
-    g2 = rs[qidx(k_cl, j_cl, jnp.maximum(c1_r, 0) + 1)]
+    g1 = rs[roff + c0_r]
+    g2 = rs[roff + jnp.maximum(c1_r, 0) + 1]
 
     has_tail = rect_ok & (b1 - b0 + 1 > rmax)
     jt = jnp.minimum(b0 + rmax, n_b[:, None] - 1)
-    t1 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + jt)
-             * (n_c[:, None] + 1))]
-    t2 = rs[(qbase[:, None] + (k_cl * n_b[:, None] + b1)
-             * (n_c[:, None] + 1) + n_c[:, None])]
+    ri_t = rowinfo[qbase[:, None] + k_cl * n_b[:, None] + jt]
+    ri_b = rowinfo[qbase[:, None] + k_cl * n_b[:, None] + b1]
+    t1 = rs[ri_t & 0x0FFFFFFF]
+    t2 = rs[(ri_b & 0x0FFFFFFF) + (n_c[:, None] << (ri_b >> 28))]
 
     # Emit in GATHER UNITS (32 refs): round the ref range outward — the
     # extra refs at each end are real triangles of the same layout or
@@ -905,8 +909,9 @@ def _fbits(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
-                 best_t, dims3, slab, any_hit, rowcap, bcap, dead_idx):
+def _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, rowinfo,
+                 ka, best_t, dims3, slab, any_hit, rowcap, bcap,
+                 dead_idx):
     """Compacted row-stream planner + unit packer (round 4).
 
     The dense slot planner's gathers and item streams scale with
@@ -957,8 +962,9 @@ def _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
             (nt, S) + v.shape[1:])
 
     nc1 = D["n_c"] + 1
-    rbase = (D["qbase"][:, None]
-             + D["k_cl"] * D["n_b"][:, None] * nc1[:, None])
+    # Lane 18: rowinfo index base of the slice (qbase is the per-layout
+    # ROW base; the ragged rs offset itself comes from rowinfo per row).
+    rbase = D["qbase"][:, None] + D["k_cl"] * D["n_b"][:, None]
     fs = jnp.concatenate([
         t2s(D["tl"]), t2s(D["th"]),
         _fbits(t2s(D["b0q"])), _fbits(t2s(D["b1q"])),
@@ -981,9 +987,14 @@ def _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
     j = _bits(F[:, 17]) + rank                           # row index
     wb0 = F[:, 21] + j.astype(jnp.float32) * F[:, 20]
     wb1 = wb0 + F[:, 20]
-    icc = F[:, 22]
+    # Per-row refinement: rowinfo gather on the compact stream (the
+    # column scale and the ragged rs offset are PER ROW now).
+    ri = rowinfo[jnp.where(valid_row, _bits(F[:, 18]) + j, 0)]
+    roff = ri & 0x0FFFFFFF
+    lgm = ri >> 28
+    icc = F[:, 22] * jnp.exp2(lgm.astype(jnp.float32))
     lo_c_r = F[:, 23]
-    ncl = _bits(F[:, 24])
+    ncl = ((_bits(F[:, 24]) + 1) << lgm) - 1
 
     c0 = jnp.full((rowcap,), 2 ** 20, jnp.int32)
     c1 = jnp.full((rowcap,), -1, jnp.int32)
@@ -1042,10 +1053,8 @@ def _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
         thr_t = jnp.minimum(thr_t, jnp.where(okq, tj_lo, _BIG))
 
     # rs span of the trimmed row (two gathers on the compact stream).
-    nc1_r = _bits(F[:, 19])
-    rbase_r = _bits(F[:, 18]) + j * nc1_r
-    safe0 = jnp.where(row_any, rbase_r + jnp.minimum(c0, ncl), 0)
-    safe1 = jnp.where(row_any, rbase_r + jnp.maximum(c1, 0) + 1, 0)
+    safe0 = jnp.where(row_any, roff + jnp.minimum(c0, ncl), 0)
+    safe1 = jnp.where(row_any, roff + jnp.maximum(c1, 0) + 1, 0)
     g1 = rs[safe0]
     g2 = rs[safe1]
 
@@ -1215,7 +1224,7 @@ def _merge(best, out_ext, tile_of):
 @functools.partial(jax.jit, static_argnames=(
     "dims3", "slab", "any_hit", "tile", "bcaps", "interpret", "dma",
     "rmax", "compact", "rowcaps"))
-def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
+def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, rowinfo, cols, planes,
            dims3, slab, any_hit, tile, bcaps, interpret, dma=False,
            rmax=_RMAX, compact=False, rowcaps=None):
     nt = xp_ext.shape[0] // tile - 1
@@ -1250,14 +1259,14 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, cols, planes,
             rowcap = rowcaps[ri]
             gidx, tile_of, tminb, n_blocks, demand, row_ovf, nrow = \
                 _plan_items2(per_ray, per_tile, cs_tab, n_tab, lo_tab,
-                             rs, ka, best[0], dims3, slab, any_hit,
-                             rowcap, bcap, dead_idx)
+                             rs, rowinfo, ka, best[0], dims3, slab,
+                             any_hit, rowcap, bcap, dead_idx)
             overflow = overflow | row_ovf
             rows_max = jnp.maximum(rows_max, nrow)
         else:
             starts, counts, thr = _plan(
-                per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, ka,
-                best[0], dims3, slab, any_hit, rmax=rmax)
+                per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, rowinfo,
+                ka, best[0], dims3, slab, any_hit, rmax=rmax)
             gidx, tile_of, tminb, n_blocks, demand = _items(
                 starts, counts, thr, nt, slab, bcap, dead_idx,
                 rmax=rmax)
@@ -1451,9 +1460,10 @@ def trace_sweep(grid: PacketGrid, rays: Rays, any_hit: bool = False,
         max(4096, (-(-rowmax * b // bcaps[0]) // 8) * 8 + 8)
         for b in bcaps) if compact else None
     best, overflow, demand = _frame(
-        xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs, grid.cols,
-        grid.planes, grid.dims3, slab, any_hit, tile, bcaps, interpret,
-        dma=dma, rmax=rmax, compact=compact, rowcaps=rowcaps)
+        xp_ext, xt_ext, grid.bbox_lo, grid.bbox_hi, grid.rs,
+        grid.rowinfo, grid.cols, grid.planes, grid.dims3, slab,
+        any_hit, tile, bcaps, interpret, dma=dma, rmax=rmax,
+        compact=compact, rowcaps=rowcaps)
 
     # Ids stay int32 all the way out: a float bitcast round-trip here
     # can silently canonicalize the NaN-pattern id bits (found by the

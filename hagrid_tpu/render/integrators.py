@@ -63,12 +63,17 @@ def ambient_occlusion(session, rays: Rays, hits, key, n_samples: int = 4,
     if max_dist is None:
         max_dist = float(jnp.max(grid.bbox_hi - grid.bbox_lo)) * 0.1
     acc = jnp.zeros(rays.count, jnp.float32)
-    for i, k in enumerate(jax.random.split(key, n_samples)):
+    for k in jax.random.split(key, n_samples):
         d = cosine_hemisphere(k, n)
         tmax = jnp.where(found, max_dist, 0.0)  # dead rays for misses
         sec = _spawn(p, n, d, 0.0, tmax)
+        # ONE calibration key for all samples: they are iid draws of
+        # the same wave shape, so budgets transfer (within margin);
+        # a sample that still outgrows them sets its per-key overflow
+        # flag and poll_overflow grows the shared budget — far fewer
+        # compiled budget rungs than per-sample keys (round 5).
         occ = trace_sorted(session, sec, any_hit=True,
-                           cal_key=("ao", i)).tri_id >= 0
+                           cal_key="ao").tri_id >= 0
         acc = acc + jnp.where(found & ~occ, 1.0, 0.0)
     return acc / n_samples
 
@@ -138,9 +143,13 @@ def path_trace(session, cam, width: int, height: int, seed: int = 0,
         throughput = jnp.ones((n,), jnp.float32)
         live = jnp.ones((n,), bool)
         for bounce in range(max_bounces):
+            # Bounces >= 1 share one calibration key (see
+            # ambient_occlusion): deeper bounces that outgrow the
+            # first bounce's budgets are caught by their overflow flag
+            # and grown at the next poll, instead of paying a fresh
+            # compile + probe per bounce depth.
             hits = (session.trace(rays, coherent=True) if bounce == 0
-                    else trace_sorted(session, rays,
-                                      cal_key=("path", bounce)))
+                    else trace_sorted(session, rays, cal_key="path"))
             found = hits.tri_id >= 0
             # Escaped rays collect the sky.
             radiance = radiance + jnp.where(live & ~found,

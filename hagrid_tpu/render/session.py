@@ -78,6 +78,9 @@ class RenderSession:
     # frames run with demand * margin. The overflow flag still reports
     # any frame whose demand outgrows the calibrated budget.
     _bmax_cal: dict = dataclasses.field(default_factory=dict)
+    # Per-wave-key accumulated overflow flags (device scalars), read
+    # only by poll_overflow at frame boundaries.
+    _ovf: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def create(tris: Triangles, params: BuildParams | None = None,
@@ -160,6 +163,11 @@ class RenderSession:
         hits, ovf = trace_sweep(self.grid, rays, any_hit=any_hit,
                                 coherent=coherent, bmax=bmax,
                                 rowmax=rowmax, return_overflow=True)
+        # Per-key accumulated device flags (never read on the hot
+        # path): poll_overflow can then grow exactly the offending
+        # wave's budgets instead of re-probing everything.
+        prev = self._ovf.get(key)
+        self._ovf[key] = ovf if prev is None else prev | ovf
         self.trace_overflow = ovf if self.trace_overflow is None \
             else self.trace_overflow | ovf
         return hits
@@ -224,22 +232,36 @@ class RenderSession:
         return cal
 
     def poll_overflow(self, recalibrate: bool = True) -> bool:
-        """Read the accumulated overflow flag (ONE host sync — call at
-        frame boundaries, never on the timed path). If any steady-state
-        wave outgrew its calibrated budget and recalibrate=True, drop
-        all calibrations so the next trace of each wave shape re-probes
-        at the (grown) demand — the production adapt-after-overflow
-        mechanism for waves whose demand drifts frame to frame. Returns
-        the flag; the caller decides whether to re-trace the tainted
-        frame (bench re-runs it; an interactive viewer would just let
-        the next frame be complete)."""
-        if self.trace_overflow is None:
+        """Read the accumulated per-wave overflow flags (one host sync
+        — call at frame boundaries, never on the timed path). If a
+        steady-state wave outgrew its calibrated budget and
+        recalibrate=True, GROW exactly that wave's budgets one rung
+        step (x2, quantized) and clear its flag, so the next trace of
+        that shape runs complete without any re-probe sync — the
+        production adapt-after-overflow mechanism for waves whose
+        demand drifts frame to frame (deforming geometry, deeper path
+        bounces sharing a calibration key). Geometric growth converges
+        in O(log shortfall) frames. Returns the OR of the flags; the
+        caller decides whether to re-trace the tainted frame (bench
+        re-runs it; an interactive viewer would just let the next
+        frame be complete)."""
+        if not self._ovf:
             return False
-        ovf = bool(jax.device_get(self.trace_overflow))
-        if ovf and recalibrate:
-            self._bmax_cal.clear()
+        flags = jax.device_get(self._ovf)
+        any_ovf = any(bool(v) for v in flags.values())
+        if any_ovf and recalibrate:
+            for key, v in flags.items():
+                if not bool(v):
+                    continue
+                bmax, rowmax = self._bmax_cal.get(key, (None, None))
+                if bmax is None:
+                    continue
+                grown = min(_rung(bmax * 2, 1024), _BMAX_CAP)
+                grown_r = _rung(rowmax * 2, 8192) if rowmax else rowmax
+                self._bmax_cal[key] = (grown, grown_r)
+                del self._ovf[key]
             self.trace_overflow = None
-        return ovf
+        return any_ovf
 
     def describe(self) -> str:
         if self.structure == "uniform":

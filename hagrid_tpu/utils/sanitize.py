@@ -36,7 +36,7 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
     xp_ext, _ = st._pad_coherent(rays.org, rays.dir, rays.tmin,
                                  rays.tmax, n_pad, tile)
 
-    def planned(xp_ext, bbox_lo, bbox_hi, rs, planes):
+    def planned(xp_ext, bbox_lo, bbox_hi, rs, rowinfo, planes):
         nt = xp_ext.shape[0] // tile - 1
         cs_tab, n_tab, lo_tab = st._tile_tabs(bbox_lo, bbox_hi,
                                               grid.dims3)
@@ -46,7 +46,7 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
         traceable = xp_ext[:nt * tile, 13].reshape(nt, tile) > 0
         best0 = jnp.where(traceable, st._BIG, -st._BIG)
         starts, counts, thr = st._plan(
-            per_ray, per_tile, cs_tab, n_tab, lo_tab, rs,
+            per_ray, per_tile, cs_tab, n_tab, lo_tab, rs, rowinfo,
             per_tile["k0"], best0, grid.dims3, slab, False)
         dead_idx = grid.cols.shape[0] // st._U - 1
         gidx, tile_of, tminb, n_blocks, demand = st._items(
@@ -58,7 +58,7 @@ def check_sweep_plan(grid: PacketGrid, rays: Rays, tile: int = 512,
     checked = checkify.checkify(planned, errors=errs)
     err, (starts, counts, gidx, tile_of, n_blocks,
           demand) = jax.jit(checked)(xp_ext, grid.bbox_lo, grid.bbox_hi,
-                                     grid.rs, grid.planes)
+                                     grid.rs, grid.rowinfo, grid.planes)
     err.throw()
 
     starts_h = np.asarray(starts)

@@ -16,25 +16,31 @@ def cornell():
 
 
 def _cell_sets(g, axis, dims):
-    """Per-(x,y,z)-cell ref sets from one layout's rs/cols tables."""
+    """Per-(x,y,z)-cell ref sets from one layout's ragged rs/cols
+    tables: a BASE cell's set is the union of its row's fine columns
+    (contiguous spans, so one slice per base cell), which must equal
+    the unrefined set — fine binning only splits, never drops."""
     a, b, c = packet._axis_order(axis)
     da, db, dc = g.dims3[axis]
     r_cap = g.ref_capacity
-    qoff = sum(g.dims3[i][0] * g.dims3[i][1] * (g.dims3[i][2] + 1)
-               for i in range(axis))
-    rs = (np.asarray(g.rs[qoff:qoff + da * db * (dc + 1)])
-          .reshape(da * db, dc + 1) - axis * r_cap)
+    rbase = sum(g.dims3[i][0] * g.dims3[i][1] for i in range(axis))
+    ri = np.asarray(g.rowinfo[rbase:rbase + da * db])
+    row_off = ri & 0x0FFFFFFF                 # absolute into rs
+    m_row = 1 << (ri >> 28)
+    rs = np.asarray(g.rs) - axis * r_cap
     ids_flat = np.asarray(g.cols)[:, 16::20].reshape(-1)  # group rows
     ids = ids_flat[axis * r_cap:(axis + 1) * r_cap].astype(np.int32)
     out = {}
     for ka in range(da):
         for kb in range(db):
-            row = rs[ka * db + kb]
+            r = ka * db + kb
+            ro, mr = int(row_off[r]), int(m_row[r])
             for kc in range(dc):
                 xyz = [0, 0, 0]
                 xyz[a], xyz[b], xyz[c] = ka, kb, kc
                 out[tuple(xyz)] = frozenset(
-                    ids[row[kc]:row[kc + 1]].tolist())
+                    ids[rs[ro + kc * mr]:
+                        rs[ro + (kc + 1) * mr]].tolist())
     return out
 
 
@@ -74,17 +80,23 @@ def test_three_layouts_agree_with_uniform(cornell):
 def test_rs_monotone_and_total(cornell):
     g = packet.build_packet(cornell, dims=(5, 3, 4))
     r_cap = g.ref_capacity
-    qoff = 0
+    rs = np.asarray(g.rs)
+    rowinfo = np.asarray(g.rowinfo)
+    rbase = 0
     for axis in range(3):
         da, db, dc = g.dims3[axis]
-        rs = (np.asarray(g.rs[qoff:qoff + da * db * (dc + 1)])
-              .reshape(da * db, dc + 1) - axis * r_cap)
-        qoff += da * db * (dc + 1)
+        ri = rowinfo[rbase:rbase + da * db]
+        rbase += da * db
+        row_off = ri & 0x0FFFFFFF
+        ends = row_off + (1 << (ri >> 28)) * dc
         # Within each row: monotone; across rows: row end == next start.
-        assert rs[0, 0] == 0
-        assert (np.diff(rs, axis=1) >= 0).all()
-        assert (rs[1:, 0] == rs[:-1, -1]).all()
-        assert rs[-1, -1] == int(g.total_refs)
+        assert rs[row_off[0]] - axis * r_cap == 0
+        for ro, e in zip(row_off, ends):
+            assert (np.diff(rs[ro:e + 1]) >= 0).all()
+        assert (rs[row_off[1:]] == rs[ends[:-1]]).all()
+        # Fine-column duplication differs per layout (row partitions
+        # differ); total_refs records the max.
+        assert rs[ends[-1]] - axis * r_cap <= int(g.total_refs)
 
 
 def test_cols_ids_are_exact_values(cornell):
@@ -103,6 +115,32 @@ def test_cols_ids_are_exact_values(cornell):
     for axis in range(3):
         span = ids_f[axis * r_cap:axis * r_cap + total].astype(np.int32)
         assert set(span.tolist()) == set(range(cornell.count))
+
+
+def test_refined_columns_union_matches_uniform_and_oracle():
+    """build_packet(refine=True) (default-off: measured negative on
+    TPU, see grid/packet.py docstring) splits dense rows' columns by
+    m in {2, 4}. Per base cell, the union of its fine columns must
+    equal the unrefined set (fine binning only splits, never drops),
+    and the tracer must stay oracle-exact through ragged rows."""
+    from hagrid_tpu import oracle
+    from hagrid_tpu.core.camera import primary_rays
+    from hagrid_tpu.ops.sweep_trace import trace_sweep
+
+    v, f = scenes.sponza_like(2000)
+    tris = Triangles.from_mesh(v, f)
+    dims = (4, 4, 4)
+    g0 = packet.build_packet(tris, dims=dims, refine=False)
+    g1 = packet.build_packet(tris, dims=dims, refine=True)
+    assert int(np.asarray(g1.rowinfo >> 28).max()) >= 1, \
+        "refinement gate never triggered; test scene too sparse"
+    for axis in range(3):
+        assert _cell_sets(g1, axis, dims) == _cell_sets(g0, axis, dims)
+    rays = primary_rays(scenes.sponza_camera(), 48, 48)
+    hits = trace_sweep(g1, rays, tile=128)
+    ref = oracle.closest_hit(rays, tris)
+    assert (np.asarray(hits.tri_id) == np.asarray(ref.tri_id)).mean() \
+        == 1.0
 
 
 def test_adaptive_slice_planes_match_oracle():

@@ -71,7 +71,7 @@ def test_overflowed_wave_converges_to_complete_oracle_match():
                        rtol=1e-5, atol=1e-5)
 
 
-def test_poll_overflow_recalibrates():
+def test_poll_overflow_grows_offending_budget():
     import jax.numpy as jnp
 
     v, f = scenes.cornell_box()
@@ -80,10 +80,17 @@ def test_poll_overflow_recalibrates():
     rays = primary_rays(scenes.cornell_camera(), 32, 32, order="block")
     s.trace(rays, coherent=True)
     assert s.poll_overflow() is False     # clean wave: no action
-    assert s._bmax_cal                    # calibration kept
+    key = (False, True, rays.count, None)
+    bmax0, _ = s._bmax_cal[key]
 
-    # Simulate a steady-state frame whose demand outgrew its budget.
+    # Simulate a steady-state frame whose demand outgrew its budget:
+    # poll must GROW that wave's budgets (no re-probe) and clear its
+    # flag so the caller's re-run traces complete.
+    s._ovf[key] = jnp.int32(1)
     s.trace_overflow = jnp.int32(1)
     assert s.poll_overflow() is True
-    assert not s._bmax_cal                # calibrations dropped
-    assert s.trace_overflow is None       # flag reset for the next frame
+    bmax1, _ = s._bmax_cal[key]
+    assert bmax1 >= 2 * bmax0             # grown one rung step
+    assert key not in s._ovf              # flag cleared for the re-run
+    assert s.trace_overflow is None
+    assert s.poll_overflow() is False     # nothing still overflowing
