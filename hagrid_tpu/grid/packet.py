@@ -335,16 +335,17 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
                               cell_lo, cell_hi)
         keep = valid & sat
         nrows = da * db
-        rowk = jnp.where(keep, v[:, a] * db + v[:, b], 0)
-
-        # Per-row column multiplier m in {1, 2, 4} (module docstring):
-        # rank-exact fractions keep the fine-cell count STATIC (the
-        # densest nrows//8 rows by post-SAT ref count get m=4, the next
-        # nrows//4 m=2), gated on an absolute refs-per-base-cell need
-        # so sparse scenes don't refine rows that gain nothing.
-        n4 = nrows // 8 if refine else 0
-        n2 = nrows // 4 if refine else 0
         if refine:
+            rowk = jnp.where(keep, v[:, a] * db + v[:, b], 0)
+
+            # Per-row column multiplier m in {1, 2, 4} (module
+            # docstring): rank-exact fractions keep the fine-cell count
+            # STATIC (the densest nrows//8 rows by post-SAT ref count
+            # get m=4, the next nrows//4 m=2), gated on an absolute
+            # refs-per-base-cell need so sparse scenes don't refine
+            # rows that gain nothing.
+            n4 = nrows // 8
+            n2 = nrows // 4
             rcnt = jnp.zeros((nrows,), jnp.int32).at[rowk].add(
                 keep.astype(jnp.int32))
             _, order = sort_pairs(-rcnt, jnp.arange(nrows, dtype=jnp.int32))
@@ -355,66 +356,92 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             m_need = jnp.where(rcnt >= 6 * dc, 4,
                                jnp.where(rcnt >= 2 * dc, 2, 1))
             m = jnp.minimum(m_rank, m_need)
+            cells_cap = dc * (4 * n4 + 2 * n2 + (nrows - n4 - n2))
+            nc_row = m * dc
+            cell_off = jnp.cumsum(nc_row) - nc_row    # i32[nrows]
+
+            # Fine column span of each base pair from the tri's
+            # c-extent (already on hand in tvk — no new gather;
+            # bbox-conservative, the SAT prune stays at base
+            # resolution).
+            mg = m[rowk]
+            v0c = tvk[:, c]
+            c1v = v0c + tvk[:, 3 + c]
+            c2v = v0c + tvk[:, 6 + c]
+            tminc = jnp.minimum(v0c, jnp.minimum(c1v, c2v))
+            tmaxc = jnp.maximum(v0c, jnp.maximum(c1v, c2v))
+            mgf = mg.astype(jnp.float32)
+            icsf = mgf / csx[c]
+            base0 = v[:, c] * mg
+            f_lo = jnp.clip(
+                ((tminc - bbox_lo[c]) * icsf).astype(jnp.int32),
+                base0, base0 + mg - 1)
+            f_hi = jnp.clip(
+                ((tmaxc - bbox_lo[c]) * icsf).astype(jnp.int32),
+                f_lo, base0 + mg - 1)
+            fcnt = jnp.where(keep, f_hi - f_lo + 1, 0)
+
+            # Expand base pairs into fine pairs (per-pair int fields
+            # ride the same delta-scatter+cumsum forward fill as the
+            # base expansion; ONE sort per layout, now over fine keys —
+            # the base-key sort is gone).
+            foffsets = jnp.cumsum(fcnt) - fcnt
+            ftotal = foffsets[-1] + fcnt[-1]
+            _, rank2, valid2, _ = expand_by_counts(fcnt, ref_capacity)
+
+            def ff2(p, foffsets=foffsets):
+                d = jnp.diff(p, prepend=jnp.zeros((1,), p.dtype))
+                return jnp.cumsum(jnp.zeros(
+                    (ref_capacity,), jnp.int32).at[foffsets].add(
+                        d, mode="drop"))
+
+            fstart = cell_off[rowk] + f_lo           # per base pair
+            fkey = jnp.where(valid2, ff2(fstart) + rank2, cells_cap)
+            skeys, srefs = sort_pairs(fkey, ff2(tri_idx))
+            starts = segment_starts(skeys, cells_cap)  # i32[cc+1]
+            live = jnp.arange(ref_capacity) < starts[cells_cap]
+
+            # Ragged rs emission: row r's column table occupies
+            # [row_off[r], row_off[r] + nc_row[r]] (incl. the closing
+            # entry, which equals the next row's first start).
+            rs_cap_ax = cells_cap + nrows
+            row_off = jnp.cumsum(nc_row + 1) - (nc_row + 1)
+            _, rankR, validR, _ = expand_by_counts(nc_row + 1, rs_cap_ax)
+            d_co = jnp.diff(cell_off, prepend=jnp.zeros((1,), jnp.int32))
+            co_ff = jnp.cumsum(jnp.zeros((rs_cap_ax,), jnp.int32).at[
+                row_off].add(d_co, mode="drop"))
+            cell_idx = jnp.clip(co_ff + rankR, 0, cells_cap)
+            rs_parts.append(jnp.where(validR, starts[cell_idx],
+                                      starts[cells_cap])
+                            + axis * ref_capacity)
+            lg = jnp.where(m == 4, 2, jnp.where(m == 2, 1, 0))
+            rowinfo_parts.append((row_off + rs_base) | (lg << 28))
+            rs_base += rs_cap_ax
+            real_ax = starts[cells_cap]
+            total_ax = jnp.maximum(total, ftotal)
         else:
-            m = jnp.ones((nrows,), jnp.int32)
-        cells_cap = dc * (4 * n4 + 2 * n2 + (nrows - n4 - n2))
-        nc_row = m * dc
-        cell_off = jnp.cumsum(nc_row) - nc_row        # i32[nrows]
-
-        # Fine column span of each base pair from the tri's c-extent
-        # (already on hand in tvk — no new gather; bbox-conservative,
-        # the SAT prune stays at base resolution).
-        mg = m[rowk]
-        v0c = tvk[:, c]
-        c1v = v0c + tvk[:, 3 + c]
-        c2v = v0c + tvk[:, 6 + c]
-        tminc = jnp.minimum(v0c, jnp.minimum(c1v, c2v))
-        tmaxc = jnp.maximum(v0c, jnp.maximum(c1v, c2v))
-        mgf = mg.astype(jnp.float32)
-        icsf = mgf / csx[c]
-        base0 = v[:, c] * mg
-        f_lo = jnp.clip(((tminc - bbox_lo[c]) * icsf).astype(jnp.int32),
-                        base0, base0 + mg - 1)
-        f_hi = jnp.clip(((tmaxc - bbox_lo[c]) * icsf).astype(jnp.int32),
-                        f_lo, base0 + mg - 1)
-        fcnt = jnp.where(keep, f_hi - f_lo + 1, 0)
-
-        # Expand base pairs into fine pairs (per-pair int fields ride
-        # the same delta-scatter+cumsum forward fill as the base
-        # expansion; ONE sort per layout, now over fine keys — the
-        # base-key sort is gone).
-        foffsets = jnp.cumsum(fcnt) - fcnt
-        ftotal = foffsets[-1] + fcnt[-1]
-        _, rank2, valid2, _ = expand_by_counts(fcnt, ref_capacity)
-
-        def ff2(p, foffsets=foffsets):
-            d = jnp.diff(p, prepend=jnp.zeros((1,), p.dtype))
-            return jnp.cumsum(jnp.zeros(
-                (ref_capacity,), jnp.int32).at[foffsets].add(
-                    d, mode="drop"))
-
-        fstart = cell_off[rowk] + f_lo               # per base pair
-        fkey = jnp.where(valid2, ff2(fstart) + rank2, cells_cap)
-        skeys, srefs = sort_pairs(fkey, ff2(tri_idx))
-        starts = segment_starts(skeys, cells_cap)    # i32[cells_cap+1]
-        live = jnp.arange(ref_capacity) < starts[cells_cap]
-
-        # Ragged rs emission: row r's column table occupies
-        # [row_off[r], row_off[r] + nc_row[r]] (incl. the closing
-        # entry, which equals the next row's first start).
-        rs_cap_ax = cells_cap + nrows
-        row_off = jnp.cumsum(nc_row + 1) - (nc_row + 1)
-        _, rankR, validR, _ = expand_by_counts(nc_row + 1, rs_cap_ax)
-        d_co = jnp.diff(cell_off, prepend=jnp.zeros((1,), jnp.int32))
-        co_ff = jnp.cumsum(jnp.zeros((rs_cap_ax,), jnp.int32).at[
-            row_off].add(d_co, mode="drop"))
-        cell_idx = jnp.clip(co_ff + rankR, 0, cells_cap)
-        rs_parts.append(jnp.where(validR, starts[cell_idx],
-                                  starts[cells_cap])
-                        + axis * ref_capacity)
-        lg = jnp.where(m == 4, 2, jnp.where(m == 2, 1, 0))
-        rowinfo_parts.append((row_off + rs_base) | (lg << 28))
-        rs_base += rs_cap_ax
+            # Uniform fast path (the benched default): ONE sort over
+            # base cell keys and the rs table is a reshape of the
+            # segment starts — none of the fine-expansion forward-fill
+            # chains above (measured: they cost ~80 ms of rebuild even
+            # at m=1). rowinfo still describes the rows (m=1, (dc+1)
+            # entries each) so the planners are branch-free.
+            num_cells = da * db * dc
+            key = (v[:, a] * db + v[:, b]) * dc + v[:, c]
+            key = jnp.where(keep, key, num_cells)
+            skeys, srefs = sort_pairs(key, jnp.where(keep, tri_idx, 0))
+            starts = segment_starts(skeys, num_cells)  # i32[C+1]
+            live = jnp.arange(ref_capacity) < starts[num_cells]
+            row_start = starts[::dc]                  # i32[nrows + 1]
+            s_log = jnp.concatenate(
+                [starts[:num_cells].reshape(nrows, dc),
+                 row_start[1:, None]], axis=1)        # i32[nrows, dc+1]
+            rs_parts.append((s_log + axis * ref_capacity).reshape(-1))
+            rowinfo_parts.append(
+                jnp.arange(nrows, dtype=jnp.int32) * (dc + 1) + rs_base)
+            rs_base += nrows * (dc + 1)
+            real_ax = starts[num_cells]
+            total_ax = total
         # Per-ref rows: ONE row gather from tri_t, then the precomputed
         # linear-form coefficients (module docstring) derived
         # elementwise — no extra gather.
@@ -431,10 +458,11 @@ def _build(tris: Triangles, bbox_lo, bbox_hi, dims3, ref_capacity,
             ref_capacity // REF_GROUP, MT_COLS * REF_GROUP)
         cols_parts.append(jnp.pad(
             grp, ((0, 0), (0, GROUP_LANES - MT_COLS * REF_GROUP))))
-        # Capacity bound: BOTH the base AABB pair expansion and the
-        # fine-column expansion stream through ref_capacity slots.
-        totals.append(jnp.maximum(total, ftotal))
-        reals.append(starts[cells_cap])   # SAT-surviving fine refs
+        # Capacity bound: BOTH the base AABB pair expansion and (when
+        # refining) the fine-column expansion stream through
+        # ref_capacity slots.
+        totals.append(total_ax)
+        reals.append(real_ax)             # SAT-surviving refs
     rs_all = jnp.concatenate(rs_parts)
     rowinfo_all = jnp.concatenate(rowinfo_parts)
     cols_all = jnp.concatenate(
