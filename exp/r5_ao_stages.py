@@ -139,19 +139,25 @@ def stage(org, dir, tmin, tmax, upto):
             jnp.concatenate([seed.reshape(1, -1),
                              jnp.full((1, TILE), -st._BIG)], axis=1),
             (14, 0))
-        for off in range(0, bcap, st._CHUNK):
-            w = min(st._CHUNK, bcap - off)
-            t_c = tile_of[off:off + w]
-            tb_c = tminb[off:off + w]
-            gi_c = gidx[off * st._UPB:(off + w) * st._UPB]
+        w = min(st._CHUNK, bcap)
 
-            def do_chunk(best, t_c=t_c, tb_c=tb_c, gi_c=gi_c):
-                out_ext = st._sweep_dma(xt_round, grid.cols, gi_c, t_c,
-                                        tb_c, TILE, True)
-                return st._merge(best, out_ext, t_c)
+        def chunk_body(state, xt_round=xt_round, gidx=gidx,
+                       tile_of=tile_of, tminb=tminb, w=w):
+            i, b = state
+            off = i * w
+            t_c = jax.lax.dynamic_slice_in_dim(tile_of, off, w)
+            tb_c = jax.lax.dynamic_slice_in_dim(tminb, off, w)
+            gi_c = jax.lax.dynamic_slice_in_dim(
+                gidx, off * st._UPB, w * st._UPB)
+            out_ext = st._sweep_dma(xt_round, grid.cols, gi_c, t_c,
+                                    tb_c, TILE, True)
+            return (i + 1, st._merge(b, out_ext, t_c))
 
-            best = jax.lax.cond(n_blocks > off, do_chunk,
-                                lambda b: b, best)
+        def chunk_cond(state, n_blocks=n_blocks, w=w, bcap=bcap):
+            return state[0] * w < jnp.minimum(n_blocks, bcap)
+
+        _, best = jax.lax.while_loop(chunk_cond, chunk_body,
+                                     (jnp.int32(0), best))
         ka = ka + step * SLAB
     if upto >= 3:
         return best[0].sum() + best[1].sum()

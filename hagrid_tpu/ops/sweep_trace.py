@@ -1292,19 +1292,40 @@ def _frame(xp_ext, xt_ext, bbox_lo, bbox_hi, rs, rowinfo, cols, planes,
             # sweep kernel fetches each block's 16 aligned (8, 128)
             # units straight from `cols` in HBM, double-buffered one
             # block ahead, and skips the fetch for early-out blocks.
-            for off in range(0, bcap, _CHUNK):
-                w = min(_CHUNK, bcap - off)
-                t_c = tile_of[off:off + w]
-                tb_c = tminb[off:off + w]
-                gi_c = gidx[off * _UPB:(off + w) * _UPB]
+            # Chunks run under lax.while_loop with a DYNAMIC trip
+            # count: only live chunks dispatch, and the program holds
+            # ONE pallas_call regardless of bcap. (Round 4 unrolled
+            # this loop in Python; at honest incoherent budgets —
+            # hundreds of chunks over the round ladder — the unrolled
+            # frame reached a 170MB MLIR module that took tens of
+            # minutes to compile and OOM-killed this environment's
+            # compile helper. Budget rungs still recompile — shapes
+            # change — but each compile is now small and cached.)
+            w = min(_CHUNK, bcap)
 
-                def do_chunk(best, t_c=t_c, tb_c=tb_c, gi_c=gi_c):
-                    out_ext = _sweep_dma(xt_round, cols, gi_c, t_c,
-                                         tb_c, tile, any_hit)
-                    return _merge(best, out_ext, t_c)
+            def chunk_body(state, xt_round=xt_round, gidx=gidx,
+                           tile_of=tile_of, tminb=tminb, w=w):
+                i, best = state
+                off = i * w
+                # Edge chunks clamp to [bcap - w, bcap): re-sweeping
+                # blocks already merged is exact (closest-hit is a
+                # min-reduction with a stable id tie-break; any-hit
+                # likewise idempotent).
+                t_c = jax.lax.dynamic_slice_in_dim(tile_of, off, w)
+                tb_c = jax.lax.dynamic_slice_in_dim(tminb, off, w)
+                gi_c = jax.lax.dynamic_slice_in_dim(
+                    gidx, off * _UPB, w * _UPB)
+                out_ext = _sweep_dma(xt_round, cols, gi_c, t_c,
+                                     tb_c, tile, any_hit)
+                return (i + 1, _merge(best, out_ext, t_c))
 
-                best = jax.lax.cond(n_blocks > off, do_chunk,
-                                    lambda b: b, best)
+            def chunk_cond(state, n_blocks=n_blocks, w=w):
+                # min with bcap: an overflowed round may report demand
+                # beyond the budget; only budgeted blocks exist.
+                return state[0] * w < jnp.minimum(n_blocks, bcap)
+
+            _, best = jax.lax.while_loop(
+                chunk_cond, chunk_body, (jnp.int32(0), best))
             ka = ka + step * slab
             continue
         # Gather in cond-gated pieces so round slack is never gathered
