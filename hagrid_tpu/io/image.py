@@ -62,3 +62,39 @@ def shade_eyelight(hits_tri, hits_t, tri_n, ray_dir, width, height):
     c = np.where(hits_tri >= 0, c, 0.0).astype(np.float32)
     img = np.repeat(c[:, None], 3, axis=1)
     return img.reshape(height, width, 3)
+
+
+def _pool(lum: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Average-pool f32[H,W] to f32[rows,cols] over near-equal strips."""
+    h, w = lum.shape
+    rb = np.floor(np.linspace(0, h, rows + 1)).astype(int)
+    cb = np.floor(np.linspace(0, w, cols + 1)).astype(int)
+    r = np.add.reduceat(lum, rb[:-1], axis=0) \
+        / np.maximum(np.diff(rb), 1)[:, None]
+    return np.add.reduceat(r, cb[:-1], axis=1) \
+        / np.maximum(np.diff(cb), 1)[None, :]
+
+
+def dhash(img: np.ndarray, hash_size: int = 8) -> str:
+    """64-bit difference hash of an image (golden-image regressions).
+
+    The reference validates renders by image comparison (SURVEY.md
+    §4.4); exact pixel hashes are not stable across backends (CPU vs
+    TPU float jitter flips silhouette pixels), so goldens pin this
+    coarse perceptual hash instead: average-pool the luminance to
+    (hash_size, hash_size+1) and record the sign of each horizontal
+    gradient. Structural regressions (camera, shading, geometry,
+    missing occluders) flip many bits; float jitter flips at most a
+    couple — compare with `hamming` and a small tolerance."""
+    img = np.asarray(img, np.float32)
+    lum = img.mean(axis=2) if img.ndim == 3 else img
+    p = _pool(lum, hash_size, hash_size + 1)
+    bits = (p[:, 1:] > p[:, :-1]).astype(np.uint8).reshape(-1)
+    return np.packbits(bits).tobytes().hex()
+
+
+def hamming(h1: str, h2: str) -> int:
+    """Bit distance between two dhash hex strings."""
+    a = np.frombuffer(bytes.fromhex(h1), np.uint8)
+    b = np.frombuffer(bytes.fromhex(h2), np.uint8)
+    return int(np.unpackbits(a ^ b).sum())
