@@ -19,6 +19,11 @@ sys.path.insert(0, "/root/repo")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+if "--tpu" not in sys.argv:
+    # The session's axon plugin overrides JAX_PLATFORMS (see
+    # tests/conftest.py); config.update wins.
+    jax.config.update("jax_platforms", "cpu")
+
 from hagrid_tpu import oracle, scenes  # noqa: E402
 from hagrid_tpu.core.camera import primary_rays  # noqa: E402
 from hagrid_tpu.core.types import Triangles  # noqa: E402

@@ -33,9 +33,29 @@ def _closest_one(org, dir, tmin, tmax, tris: Triangles) -> Hits:
 
 
 @jax.jit
-def closest_hit(rays: Rays, tris: Triangles) -> Hits:
+def _closest_chunk(org, dir, tmin, tmax, tris: Triangles) -> Hits:
     return jax.vmap(lambda o, d, t0, t1: _closest_one(o, d, t0, t1, tris))(
-        rays.org, rays.dir, rays.tmin, rays.tmax)
+        org, dir, tmin, tmax)
+
+
+def closest_hit(rays: Rays, tris: Triangles, chunk: int = 2048) -> Hits:
+    """Chunked over rays: the vmapped kernel materializes a
+    (chunk, tris) intermediate, which at golden-generation scale
+    (16k rays x 262k tris) otherwise allocates ~200GB."""
+    n = rays.count
+    if n <= chunk:
+        return _closest_chunk(rays.org, rays.dir, rays.tmin, rays.tmax,
+                              tris)
+    outs = []
+    for i in range(0, n, chunk):
+        sl = slice(i, min(i + chunk, n))
+        outs.append(jax.block_until_ready(_closest_chunk(
+            rays.org[sl], rays.dir[sl], rays.tmin[sl], rays.tmax[sl],
+            tris)))
+    return Hits(tri_id=jnp.concatenate([o.tri_id for o in outs]),
+                t=jnp.concatenate([o.t for o in outs]),
+                u=jnp.concatenate([o.u for o in outs]),
+                v=jnp.concatenate([o.v for o in outs]))
 
 
 @jax.jit
